@@ -1,0 +1,84 @@
+import cv2
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from foundpose_tpu import cameras
+from foundpose_tpu.ops import warp
+from foundpose_tpu.structs import PinholeCamera, aligned_box
+
+
+def make_scene(rng):
+    src = PinholeCamera.create(f=(500.0, 500.0), c=(160.0, 120.0), width=320, height=240)
+    box = aligned_box(100.0, 80.0, 220.0, 180.0)
+    dst = cameras.construct_crop_camera(
+        box=box, camera_c2w=src, viewport_size=(64, 64), viewport_rel_pad=0.2
+    )
+    image = rng.uniform(size=(240, 320, 3)).astype(np.float32)
+    return src, dst, image
+
+
+def test_bilinear_sample_matches_cv2_remap(rng):
+    image = rng.uniform(size=(50, 60)).astype(np.float32)
+    xs = rng.uniform(-5, 65, size=(200,)).astype(np.float32)
+    ys = rng.uniform(-5, 55, size=(200,)).astype(np.float32)
+    got = np.asarray(
+        warp.bilinear_sample(jnp.asarray(image), jnp.stack([jnp.asarray(xs), jnp.asarray(ys)], -1))
+    )
+    expected = cv2.remap(
+        image, xs.reshape(-1, 1), ys.reshape(-1, 1), cv2.INTER_LINEAR
+    ).flatten()
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_warp_image_matches_cv2_reference(rng):
+    """Full pipeline parity: our jax warp vs the reference cv2.remap path."""
+    src, dst, image = make_scene(rng)
+    got = np.asarray(warp.warp_image(src, dst, jnp.asarray(image)))
+
+    # Reference implementation (utils/misc.py:458-519) with numpy + cv2.
+    W, H = dst.width, dst.height
+    px, py = np.meshgrid(np.arange(W), np.arange(H))
+    dst_win = np.column_stack([px.flatten(), py.flatten()]).astype(np.float64)
+    dst_eye = np.asarray(dst.window_to_eye(jnp.asarray(dst_win)))
+    world = np.asarray(dst.eye_to_world(jnp.asarray(dst_eye)))
+    src_eye = np.asarray(src.world_to_eye(jnp.asarray(world)))
+    src_win = np.array(src.eye_to_window(jnp.asarray(src_eye)))
+    src_win[src_eye[:, 2] < 0] = -1
+    map_x = src_win[:, 0].reshape(H, W).astype(np.float32)
+    map_y = src_win[:, 1].reshape(H, W).astype(np.float32)
+    expected = cv2.remap(image, map_x, map_y, cv2.INTER_LINEAR)
+
+    np.testing.assert_allclose(got, expected, atol=1e-3)
+
+
+def test_warp_mask_nearest(rng):
+    src, dst, _ = make_scene(rng)
+    mask = np.zeros((240, 320), dtype=np.float32)
+    mask[90:170, 110:210] = 1.0
+    got = np.asarray(warp.warp_image(src, dst, jnp.asarray(mask), interpolation="nearest"))
+    assert set(np.unique(got)).issubset({0.0, 1.0})
+    assert got.sum() > 0
+
+
+def test_warp_depth_same_extrinsics_preserves_values(rng):
+    src, dst, _ = make_scene(rng)
+    depth = np.zeros((240, 320), dtype=np.float32)
+    depth[100:160, 120:200] = 1000.0
+    got = np.asarray(warp.warp_depth_image(src, dst, jnp.asarray(depth)))
+    assert got.max() > 0
+
+    # Geometric consistency: every warped depth, unprojected through the dst
+    # camera into world and re-expressed in the src camera, must land back on
+    # the constant-z=1000 surface the src depth image encodes.
+    ys, xs = np.nonzero(got > 0)
+    sel = slice(0, None, 37)
+    pix = np.stack([xs[sel], ys[sel]], axis=-1).astype(np.float32)
+    d = got[ys[sel], xs[sel]]
+    rays = np.asarray(dst.window_to_eye(jnp.asarray(pix)))
+    pts_dst = rays * (d / rays[:, 2])[:, None]
+    pts_w = np.asarray(dst.eye_to_world(jnp.asarray(pts_dst)))
+    pts_src = np.asarray(src.world_to_eye(jnp.asarray(pts_w)))
+    # Nearest-neighbor resampling quantizes to the source pixel grid, so allow
+    # a couple of mm of slack at ~1 m range.
+    np.testing.assert_allclose(pts_src[:, 2], 1000.0, atol=5.0)
