@@ -1,0 +1,135 @@
+"""Brute-force k-nearest-neighbor search as MXU matmul kernels.
+
+TPU-native replacement for the reference's faiss flat indices
+(reference: utils/knn_util.py:10-112). Instead of a stateful CPU index with
+device round-trips per search, distances are computed as one batched matmul
+(`-2 q·xᵀ` plus norm corrections) and reduced with `lax.top_k`, entirely
+on-device and vmappable over crops/templates. A scan-tiled variant keeps VMEM
+bounded for large descriptor banks; bank entries can be masked, which is how
+ragged per-template feature sets stay jit-friendly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_INF = jnp.inf
+
+
+def pairwise_sqdist(
+    queries: Array, bank: Array, precision=jax.lax.Precision.HIGHEST
+) -> Array:
+    """Squared L2 distances [..., Q, N] between queries [..., Q, D] and bank [..., N, D].
+
+    The cross term runs on the MXU; norms are fused by XLA.
+    """
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # [..., Q, 1]
+    bn = jnp.sum(bank * bank, axis=-1)[..., None, :]  # [..., 1, N]
+    cross = jnp.einsum("...qd,...nd->...qn", queries, bank, precision=precision)
+    return jnp.maximum(qn + bn - 2.0 * cross, 0.0)
+
+
+def cosine_sim(queries: Array, bank: Array, eps: float = 1e-12) -> Array:
+    """Cosine similarity [..., Q, N]."""
+    q = queries / jnp.maximum(jnp.linalg.norm(queries, axis=-1, keepdims=True), eps)
+    b = bank / jnp.maximum(jnp.linalg.norm(bank, axis=-1, keepdims=True), eps)
+    return jnp.einsum("...qd,...nd->...qn", q, b)
+
+
+def knn_search(
+    queries: Array,
+    bank: Array,
+    k: int,
+    metric: str = "l2",
+    bank_mask: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Exact k-NN of each query against a (possibly masked) bank.
+
+    Args:
+        queries: [..., Q, D].
+        bank: [..., N, D].
+        k: number of neighbors.
+        metric: "l2" (returns squared L2 distances, like faiss IndexFlatL2) or
+            "cosine" (returns 1 - cos similarity).
+        bank_mask: optional [..., N] bool; masked-out rows are never returned.
+
+    Returns:
+        (dists [..., Q, k], ids [..., Q, k]) sorted ascending by distance.
+    """
+    if metric == "l2":
+        d = pairwise_sqdist(queries, bank)
+    elif metric == "cosine":
+        d = 1.0 - cosine_sim(queries, bank)
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    if bank_mask is not None:
+        d = jnp.where(bank_mask[..., None, :], d, _INF)
+    neg_d, ids = jax.lax.top_k(-d, k)
+    return -neg_d, ids
+
+
+def knn_search_tiled(
+    queries: Array,
+    bank: Array,
+    k: int,
+    tile: int = 2048,
+    bank_mask: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """k-NN over a large bank, scanning bank tiles with a running top-k merge.
+
+    Keeps the live distance block at Q x tile so VMEM stays bounded while the
+    matmuls remain MXU-sized. Equivalent to `knn_search` (l2 metric).
+    """
+    q, d_dim = queries.shape[-2], queries.shape[-1]
+    n = bank.shape[-2]
+    num_tiles = -(-n // tile)
+    pad = num_tiles * tile - n
+    if bank_mask is None:
+        bank_mask = jnp.ones((n,), dtype=bool)
+    bank_p = jnp.pad(bank, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(bank_mask, (0, pad))
+    bank_t = bank_p.reshape(num_tiles, tile, d_dim)
+    mask_t = mask_p.reshape(num_tiles, tile)
+
+    qn = jnp.sum(queries * queries, axis=-1, keepdims=True)
+
+    def body(carry, inputs):
+        best_d, best_i = carry
+        bank_tile, mask_tile, tile_idx = inputs
+        bn = jnp.sum(bank_tile * bank_tile, axis=-1)[None, :]
+        cross = jnp.einsum(
+            "qd,nd->qn", queries, bank_tile, precision=jax.lax.Precision.HIGHEST
+        )
+        dist = jnp.maximum(qn + bn - 2.0 * cross, 0.0)
+        dist = jnp.where(mask_tile[None, :], dist, _INF)
+        ids = tile_idx * tile + jax.lax.broadcasted_iota(jnp.int32, (q, tile), 1)
+        cat_d = jnp.concatenate([best_d, dist], axis=-1)
+        cat_i = jnp.concatenate([best_i, ids], axis=-1)
+        neg_d, sel = jax.lax.top_k(-cat_d, k)
+        return (-neg_d, jnp.take_along_axis(cat_i, sel, axis=-1)), None
+
+    init = (
+        jnp.full((q, k), _INF, dtype=queries.dtype),
+        jnp.zeros((q, k), dtype=jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (bank_t, mask_t, jnp.arange(num_tiles, dtype=jnp.int32))
+    )
+    return best_d, best_i
+
+
+def argmin_dist(
+    queries: Array, bank: Array, bank_mask: Optional[Array] = None
+) -> Tuple[Array, Array]:
+    """1-NN: (min squared L2 distance, index) per query. Cheaper than top_k(1)."""
+    d = pairwise_sqdist(queries, bank)
+    if bank_mask is not None:
+        d = jnp.where(bank_mask[..., None, :], d, _INF)
+    idx = jnp.argmin(d, axis=-1)
+    return jnp.take_along_axis(d, idx[..., None], axis=-1)[..., 0], idx

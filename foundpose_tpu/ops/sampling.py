@@ -1,0 +1,98 @@
+"""Feature-map sampling, query-grid generation and mask filtering.
+
+TPU-native re-design of the reference feature ops
+(reference: utils/feature_util.py:25-157). The key departure: nothing here
+changes array sizes at runtime. Mask "filtering" returns a fixed-size validity
+mask over the full query grid instead of boolean indexing, which keeps every
+downstream stage (tf-idf, buddies, RANSAC) static-shaped and jit-compilable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from foundpose_tpu.ops.warp import bilinear_sample
+
+Array = jax.Array
+
+
+def grid_points(grid_size: Tuple[int, int], cell_size: float) -> Array:
+    """2D coordinates of regular-grid cell centers.
+
+    Args:
+        grid_size: (width, height) in pixels.
+        cell_size: square cell side in pixels.
+    Returns:
+        [(W/cell)*(H/cell), 2] (x, y) coordinates, row-major over y then x in
+        "xy" meshgrid order. (reference: utils/feature_util.py:25-52)
+    """
+    w, h = grid_size
+    cols = int(w / cell_size)
+    rows = int(h / cell_size)
+    half = cell_size / 2.0
+    xs = jnp.linspace(half, w - half, cols, dtype=jnp.float32)
+    ys = jnp.linspace(half, h - half, rows, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    return jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
+
+
+def points_in_mask(points: Array, mask: Array) -> Array:
+    """Validity of 2D points against a binary mask (fixed-size, no filtering).
+
+    A point is valid if its +0.5-rounded integer pixel lies inside the canvas
+    and on the mask, exactly matching the reference's filter semantics
+    (reference: utils/feature_util.py:75-97) — but expressed as a mask so the
+    point set keeps its static shape.
+    """
+    h, w = mask.shape
+    pi = jnp.floor(points + 0.5).astype(jnp.int32)
+    x, y = pi[..., 0], pi[..., 1]
+    in_canvas = (x > 0) & (x < w) & (y > 0) & (y < h)
+    xc = jnp.clip(x, 0, w - 1)
+    yc = jnp.clip(y, 0, h - 1)
+    on_mask = mask[yc, xc] > 0
+    return in_canvas & on_mask
+
+
+def sample_feature_map(
+    feature_map_hwc: Array, points: Array, image_size: Tuple[int, int]
+) -> Array:
+    """Bilinear feature sampling at image-space 2D points.
+
+    Matches torch grid_sample(align_corners=False) semantics over a feature
+    map of lower resolution than the image: image coordinate p maps to
+    feature-map coordinate p * (fm / image) - 0.5, with zero padding outside
+    (reference: utils/feature_util.py:100-131).
+
+    Args:
+        feature_map_hwc: [Hf, Wf, C].
+        points: [..., 2] (x, y) in image coordinates.
+        image_size: (image_width, image_height).
+    """
+    hf, wf = feature_map_hwc.shape[0], feature_map_hwc.shape[1]
+    iw, ih = image_size
+    scale = jnp.asarray([wf / iw, hf / ih], dtype=points.dtype)
+    fm_pts = points * scale - 0.5
+    return bilinear_sample(feature_map_hwc, fm_pts)
+
+
+def subsample_points(
+    points: Array, valid: Array, max_count: int, key: Optional[Array] = None
+) -> Array:
+    """Randomly keeps at most `max_count` valid points (mask update only).
+
+    Jit-friendly analog of the reference's randperm subsampling
+    (reference: scripts/infer.py:484-492): scores valid points with random
+    keys and keeps the top `max_count` by masking out the rest.
+    """
+    n = points.shape[0]
+    if key is None:
+        return valid
+    scores = jax.random.uniform(key, (n,))
+    scores = jnp.where(valid, scores, -1.0)
+    thresh = -jax.lax.top_k(scores, max_count)[0][-1]
+    keep = scores >= -thresh
+    return valid & keep
