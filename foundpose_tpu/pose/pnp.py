@@ -1,0 +1,200 @@
+"""Batched RANSAC-PnP with Levenberg–Marquardt refinement, fully inside jit.
+
+TPU-native replacement for cv2.solvePnPRansac/solvePnPRefineLM
+(reference: utils/pnp_util.py:20-84). Design:
+
+- A fixed number of RANSAC hypotheses is drawn up-front (no adaptive early
+  exit — data-dependent loop trip counts don't jit). Each hypothesis solves a
+  6-point DLT in normalized camera coordinates: the 12x12 normal matrix's
+  smallest eigenvector gives [R|t] up to scale, recovered with an SVD
+  orthogonalization. All hypotheses solve as one vmapped batch of tiny
+  eigendecompositions.
+- Hypotheses are scored by masked inlier counting at the pixel reprojection
+  threshold; the best one seeds a masked LM refinement on its inliers
+  (fixed-iteration, damped Gauss-Newton with accept/reject, matching
+  cv2.solvePnPRefineLM's behavior).
+- Everything vmaps over templates and crops, so one jit call scores
+  (crops x templates x hypotheses) poses on the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from foundpose_tpu import geometry
+
+Array = jax.Array
+
+_P = jax.lax.Precision.HIGHEST
+
+
+class PnPResult(NamedTuple):
+    success: Array  # [] bool
+    R: Array  # [3, 3] model-to-camera rotation
+    t: Array  # [3] model-to-camera translation
+    inliers: Array  # [N] bool inlier mask
+    quality: Array  # [] float inlier count (reference: pnp_util.py:77-79)
+
+
+def _dlt_pose(pts3d: Array, rays: Array) -> tuple[Array, Array]:
+    """[R|t] from >=6 correspondences via DLT in normalized coordinates.
+
+    Args:
+        pts3d: [M, 3] model points.
+        rays: [M, 2] normalized image coordinates (K^-1 applied).
+    Returns:
+        (R [3,3], t [3]).
+    """
+    m = pts3d.shape[0]
+    ones = jnp.ones((m, 1), dtype=pts3d.dtype)
+    zeros = jnp.zeros((m, 4), dtype=pts3d.dtype)
+    xh = jnp.concatenate([pts3d, ones], axis=1)  # [M, 4]
+    u = rays[:, 0:1]
+    v = rays[:, 1:2]
+    row_u = jnp.concatenate([xh, zeros, -u * xh], axis=1)  # [M, 12]
+    row_v = jnp.concatenate([zeros, xh, -v * xh], axis=1)  # [M, 12]
+    a = jnp.concatenate([row_u, row_v], axis=0)  # [2M, 12]
+    ata = jnp.einsum("mi,mj->ij", a, a, precision=_P)
+    _, vecs = jnp.linalg.eigh(ata)
+    p = vecs[:, 0].reshape(3, 4)
+
+    r_raw = p[:, :3]
+    det = jnp.linalg.det(r_raw)
+    sign = jnp.where(det < 0, -1.0, 1.0)
+    scale = sign / jnp.cbrt(jnp.abs(det) + 1e-30)
+    r = geometry.orthogonalize_rotation(r_raw * scale)
+    t = p[:, 3] * scale
+    return r, t
+
+
+def _project(r: Array, t: Array, pts3d: Array, k_f: Array, k_c: Array) -> Array:
+    """Pinhole projection of [N, 3] model points to pixels given [R|t]."""
+    cam = jnp.einsum("ij,nj->ni", r, pts3d, precision=_P) + t
+    z = jnp.where(jnp.abs(cam[:, 2:3]) < 1e-9, 1e-9, cam[:, 2:3])
+    return cam[:, :2] / z * k_f + k_c
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "refine_lm", "lm_iters"))
+def ransac_pnp(
+    coord_2d: Array,
+    coord_3d: Array,
+    valid: Array,
+    k_f: Array,
+    k_c: Array,
+    key: Array,
+    num_hypotheses: int = 400,
+    inlier_thresh: float = 10.0,
+    refine_lm: bool = True,
+    lm_iters: int = 10,
+) -> PnPResult:
+    """RANSAC-PnP on one (masked) correspondence set.
+
+    Args:
+        coord_2d: [N, 2] pixel coordinates.
+        coord_3d: [N, 3] model points.
+        valid: [N] bool correspondence validity (padding excluded).
+        k_f: [2] (fx, fy); k_c: [2] (cx, cy).
+        key: PRNG key for hypothesis sampling.
+        num_hypotheses: fixed RANSAC iteration count
+            (reference config: 400, configs/infer/lmo.json:19).
+        inlier_thresh: pixel reprojection threshold (reference: 10 px).
+
+    Matches the reference contract: quality = inlier count, success requires a
+    non-degenerate solve with >= 6 inliers (reference: utils/pnp_util.py:46-79).
+    """
+    n = coord_2d.shape[0]
+    dtype = jnp.float32
+    pts2d = coord_2d.astype(dtype)
+    pts3d = coord_3d.astype(dtype)
+    validf = valid.astype(dtype)
+
+    # Normalized image coordinates.
+    rays = (pts2d - k_c) / k_f
+
+    # --- hypothesis sampling: [H, 6] indices over valid correspondences ----
+    probs = validf / jnp.maximum(jnp.sum(validf), 1.0)
+    sample_ids = jax.random.choice(
+        key, n, shape=(num_hypotheses, 6), replace=True, p=probs
+    )
+
+    def solve_one(ids):
+        return _dlt_pose(pts3d[ids], rays[ids])
+
+    rs, ts = jax.vmap(solve_one)(sample_ids)  # [H,3,3], [H,3]
+
+    # --- score all hypotheses by masked inlier count ------------------------
+    def score_one(r, t):
+        proj = _project(r, t, pts3d, k_f, k_c)
+        err2 = jnp.sum(jnp.square(proj - pts2d), axis=-1)
+        cam_z = (jnp.einsum("ij,nj->ni", r, pts3d, precision=_P) + t)[:, 2]
+        inl = (err2 < inlier_thresh**2) & valid & (cam_z > 0)
+        return jnp.sum(inl.astype(dtype)), inl
+
+    counts, inlier_masks = jax.vmap(score_one)(rs, ts)
+    best = jnp.argmax(counts)
+    r_best, t_best = rs[best], ts[best]
+    inliers = inlier_masks[best]
+    count = counts[best]
+
+    # --- masked LM refinement on the best hypothesis's inliers -------------
+    if refine_lm:
+        r_best, t_best = refine_pose_lm(
+            r_best, t_best, pts2d, pts3d, inliers, k_f, k_c, iters=lm_iters
+        )
+        # Recompute the inlier set with the refined pose (cv2 keeps the RANSAC
+        # inlier set; we keep it too for quality, refinement only sharpens R|t).
+
+    success = count >= 6.0
+    return PnPResult(success=success, R=r_best, t=t_best, inliers=inliers, quality=count)
+
+
+def refine_pose_lm(
+    r: Array,
+    t: Array,
+    pts2d: Array,
+    pts3d: Array,
+    weight_mask: Array,
+    k_f: Array,
+    k_c: Array,
+    iters: int = 10,
+) -> tuple[Array, Array]:
+    """Damped Gauss-Newton (LM) on the reprojection error over masked points.
+
+    Pose is parametrized as (axis-angle, translation); the 6x6 normal system
+    is solved per iteration with adaptive damping and accept/reject, a
+    jit-friendly equivalent of cv2.solvePnPRefineLM
+    (reference: utils/pnp_util.py:66-74).
+    """
+    w = weight_mask.astype(jnp.float32)
+
+    def residuals(theta):
+        rv, tv = theta[:3], theta[3:]
+        rot = geometry.rodrigues(rv)
+        proj = _project(rot, tv, pts3d, k_f, k_c)
+        return ((proj - pts2d) * w[:, None]).reshape(-1)
+
+    theta0 = jnp.concatenate([geometry.rodrigues_inv(r), t])
+
+    def step(carry, _):
+        theta, lam = carry
+        res = residuals(theta)
+        jac = jax.jacfwd(residuals)(theta)  # [2N, 6]
+        jtj = jac.T @ jac
+        jtr = jac.T @ res
+        cost = jnp.sum(res * res)
+
+        delta = jnp.linalg.solve(jtj + lam * jnp.eye(6, dtype=theta.dtype), jtr)
+        theta_new = theta - delta
+        new_cost = jnp.sum(jnp.square(residuals(theta_new)))
+        improved = new_cost < cost
+        theta = jnp.where(improved, theta_new, theta)
+        lam = jnp.where(improved, lam * 0.3, lam * 3.0)
+        lam = jnp.clip(lam, 1e-9, 1e6)
+        return (theta, lam), None
+
+    (theta, _), _ = jax.lax.scan(step, (theta0, jnp.asarray(1e-3)), None, length=iters)
+    return geometry.rodrigues(theta[:3]), theta[3:]

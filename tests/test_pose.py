@@ -1,0 +1,227 @@
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from foundpose_tpu import geometry
+from foundpose_tpu.pose import corresp, pnp
+
+
+# ---------------------------------------------------------------------------
+# Cyclic buddies
+# ---------------------------------------------------------------------------
+
+
+def test_cyclic_buddies_identity_match(rng):
+    """When query and object features are identical, every point is a buddy
+    with cycle distance zero."""
+    q = rng.normal(size=(40, 8)).astype(np.float32)
+    pts = rng.uniform(0, 100, size=(40, 2)).astype(np.float32)
+    q_ids, o_ids, dists, scores, valid = corresp.cyclic_buddies(
+        jnp.asarray(pts),
+        jnp.asarray(q),
+        jnp.ones(40, bool),
+        jnp.asarray(q),
+        jnp.ones(40, bool),
+        top_k=10,
+    )
+    np.testing.assert_array_equal(np.asarray(q_ids), np.asarray(o_ids))
+    np.testing.assert_allclose(np.asarray(dists), 0.0)
+    assert np.asarray(valid).all()
+
+
+def test_cyclic_buddies_matches_reference_algorithm(rng):
+    """Masked TPU implementation == literal numpy restatement of the reference
+    (corresp_util.py:34-70) on an unmasked problem."""
+    nq, nf, d = 60, 80, 16
+    qf = rng.normal(size=(nq, d)).astype(np.float32)
+    of = rng.normal(size=(nf, d)).astype(np.float32)
+    pts = rng.uniform(0, 400, size=(nq, 2)).astype(np.float32)
+    top_k = 45  # > number of mutual-NN pairs, so d_max > 0
+
+    # Reference restatement.
+    d_qo = ((qf[:, None] - of[None]) ** 2).sum(-1)
+    q2o = d_qo.argmin(1)
+    o2q = d_qo.argmin(0)
+    cycle_ids = o2q[q2o]
+    cyc = np.linalg.norm(pts - pts[cycle_ids], axis=1)
+    order = np.argsort(cyc, kind="stable")[:top_k]
+    exp_dists = cyc[order]
+    exp_scores = 1.0 - exp_dists / exp_dists.max()
+    exp_obj = q2o[order]
+
+    q_ids, o_ids, dists, scores, valid = corresp.cyclic_buddies(
+        jnp.asarray(pts),
+        jnp.asarray(qf),
+        jnp.ones(nq, bool),
+        jnp.asarray(of),
+        jnp.ones(nf, bool),
+        top_k=top_k,
+    )
+    np.testing.assert_allclose(np.sort(np.asarray(dists)), np.sort(exp_dists), atol=1e-4)
+    # Same set of matched query points (ordering among ties may differ).
+    assert set(np.asarray(q_ids).tolist()) == set(order.tolist())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(scores)), np.sort(exp_scores), atol=1e-4
+    )
+
+
+def test_cyclic_buddies_respects_masks(rng):
+    nq, nf, d = 30, 30, 8
+    qf = rng.normal(size=(nq, d)).astype(np.float32)
+    of = rng.normal(size=(nf, d)).astype(np.float32)
+    pts = rng.uniform(0, 100, size=(nq, 2)).astype(np.float32)
+    qm = np.zeros(nq, bool)
+    qm[:10] = True
+    om = np.zeros(nf, bool)
+    om[:15] = True
+    q_ids, o_ids, _, _, valid = corresp.cyclic_buddies(
+        jnp.asarray(pts), jnp.asarray(qf), jnp.asarray(qm),
+        jnp.asarray(of), jnp.asarray(om), top_k=20,
+    )
+    v = np.asarray(valid)
+    assert v.sum() == 10  # only 10 valid queries
+    assert np.asarray(q_ids)[v].max() < 10
+    assert np.asarray(o_ids)[v].max() < 15
+
+
+# ---------------------------------------------------------------------------
+# PnP
+# ---------------------------------------------------------------------------
+
+
+def synth_pnp_problem(rng, n=100, noise=0.0, outlier_frac=0.0):
+    r = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+    t = np.array([0.05, -0.03, 0.6])
+    k_f = np.array([600.0, 600.0])
+    k_c = np.array([210.0, 210.0])
+    pts3d = rng.uniform(-0.1, 0.1, size=(n, 3))
+    cam = pts3d @ r.T + t
+    proj = cam[:, :2] / cam[:, 2:3] * k_f + k_c
+    proj += noise * rng.normal(size=proj.shape)
+    n_out = int(outlier_frac * n)
+    if n_out:
+        proj[:n_out] = rng.uniform(0, 420, size=(n_out, 2))
+    return r, t, pts3d, proj, k_f, k_c
+
+
+def test_dlt_exact_recovery(rng):
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(rng, n=6)
+    rays = (proj - k_c) / k_f
+    r_est, t_est = pnp._dlt_pose(jnp.asarray(pts3d, dtype=jnp.float32),
+                                 jnp.asarray(rays, dtype=jnp.float32))
+    assert float(geometry.rotation_error_deg(r_est, jnp.asarray(r))) < 0.5
+    np.testing.assert_allclose(np.asarray(t_est), t, atol=5e-3)
+
+
+def test_ransac_pnp_clean(rng):
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(rng, n=150, noise=0.3)
+    res = pnp.ransac_pnp(
+        jnp.asarray(proj, dtype=jnp.float32),
+        jnp.asarray(pts3d, dtype=jnp.float32),
+        jnp.ones(150, bool),
+        jnp.asarray(k_f, dtype=jnp.float32),
+        jnp.asarray(k_c, dtype=jnp.float32),
+        jax.random.PRNGKey(0),
+        num_hypotheses=200,
+    )
+    assert bool(res.success)
+    assert float(geometry.rotation_error_deg(res.R, jnp.asarray(r))) < 1.0
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=5e-3)
+    assert float(res.quality) > 140
+
+
+def test_ransac_pnp_with_outliers_matches_cv2(rng):
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(
+        rng, n=200, noise=0.5, outlier_frac=0.4
+    )
+    res = pnp.ransac_pnp(
+        jnp.asarray(proj, dtype=jnp.float32),
+        jnp.asarray(pts3d, dtype=jnp.float32),
+        jnp.ones(200, bool),
+        jnp.asarray(k_f, dtype=jnp.float32),
+        jnp.asarray(k_c, dtype=jnp.float32),
+        jax.random.PRNGKey(1),
+        num_hypotheses=400,
+        inlier_thresh=10.0,
+    )
+    K = np.array([[k_f[0], 0, k_c[0]], [0, k_f[1], k_c[1]], [0, 0, 1.0]])
+    ok, rvec, tvec, inl = cv2.solvePnPRansac(
+        pts3d.astype(np.float32),
+        proj.astype(np.float32),
+        K,
+        None,
+        iterationsCount=400,
+        reprojectionError=10.0,
+        confidence=0.99,
+        flags=cv2.SOLVEPNP_ITERATIVE,
+    )
+    assert ok and bool(res.success)
+    r_cv = cv2.Rodrigues(rvec)[0]
+    # Both must recover the ground truth.
+    assert float(geometry.rotation_error_deg(res.R, jnp.asarray(r))) < 1.5
+    assert float(geometry.rotation_error_deg(jnp.asarray(r_cv), jnp.asarray(r))) < 1.5
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=1e-2)
+    # Inlier counts comparable (>= 90% of cv2's).
+    assert float(res.quality) >= 0.9 * len(inl)
+
+
+def test_ransac_pnp_masked_padding(rng):
+    """Padding rows with garbage must not affect the result."""
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(rng, n=80, noise=0.2)
+    pad = 40
+    pts3d_p = np.concatenate([pts3d, rng.normal(size=(pad, 3)) * 100])
+    proj_p = np.concatenate([proj, rng.uniform(-1000, 1000, size=(pad, 2))])
+    valid = np.concatenate([np.ones(80, bool), np.zeros(pad, bool)])
+    res = pnp.ransac_pnp(
+        jnp.asarray(proj_p, dtype=jnp.float32),
+        jnp.asarray(pts3d_p, dtype=jnp.float32),
+        jnp.asarray(valid),
+        jnp.asarray(k_f, dtype=jnp.float32),
+        jnp.asarray(k_c, dtype=jnp.float32),
+        jax.random.PRNGKey(2),
+        num_hypotheses=200,
+    )
+    assert bool(res.success)
+    assert float(geometry.rotation_error_deg(res.R, jnp.asarray(r))) < 1.0
+    assert not np.asarray(res.inliers)[80:].any()
+
+
+def test_lm_refinement_improves_noisy_pose(rng):
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(rng, n=100, noise=0.0)
+    # Perturb the pose.
+    r0 = r @ Rotation.from_rotvec([0.03, -0.02, 0.01]).as_matrix()
+    t0 = t + np.array([0.01, -0.005, 0.02])
+    r_ref, t_ref = pnp.refine_pose_lm(
+        jnp.asarray(r0, dtype=jnp.float32),
+        jnp.asarray(t0, dtype=jnp.float32),
+        jnp.asarray(proj, dtype=jnp.float32),
+        jnp.asarray(pts3d, dtype=jnp.float32),
+        jnp.ones(100, bool),
+        jnp.asarray(k_f, dtype=jnp.float32),
+        jnp.asarray(k_c, dtype=jnp.float32),
+        iters=15,
+    )
+    err0 = float(geometry.rotation_error_deg(jnp.asarray(r0), jnp.asarray(r)))
+    err1 = float(geometry.rotation_error_deg(r_ref, jnp.asarray(r)))
+    assert err1 < 0.05 < err0
+    np.testing.assert_allclose(np.asarray(t_ref), t, atol=1e-3)
+
+
+def test_ransac_pnp_vmaps_over_templates(rng):
+    """The solver must vmap over a leading template axis (top-5 templates)."""
+    problems = [synth_pnp_problem(rng, n=60, noise=0.2) for _ in range(3)]
+    proj = jnp.asarray(np.stack([p[3] for p in problems]), dtype=jnp.float32)
+    pts = jnp.asarray(np.stack([p[2] for p in problems]), dtype=jnp.float32)
+    k_f = jnp.asarray(problems[0][4], dtype=jnp.float32)
+    k_c = jnp.asarray(problems[0][5], dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    res = jax.vmap(
+        lambda p2, p3, k: pnp.ransac_pnp(
+            p2, p3, jnp.ones(60, bool), k_f, k_c, k, num_hypotheses=150
+        )
+    )(proj, pts, keys)
+    for i, (r, t, *_rest) in enumerate(problems):
+        assert bool(np.asarray(res.success)[i])
+        assert float(geometry.rotation_error_deg(res.R[i], jnp.asarray(r))) < 1.5
