@@ -1,0 +1,238 @@
+"""The end-to-end online pose pipeline as one batched, jitted function.
+
+This is the TPU-native answer to the reference's per-instance Python hot loop
+(reference: scripts/infer.py:368-733, call stack in SURVEY.md §3.1). The
+entire chain —
+
+    DINOv2 features -> masked query grid -> PCA projection ->
+    tf-idf template retrieval -> cyclic-buddy matching -> RANSAC-PnP ->
+    best-hypothesis selection
+
+— traces into a single XLA program batched over detection crops, with zero
+host round-trips (the reference crosses the device boundary at every faiss
+search, at PCA, and at PnP; SURVEY.md §3.1 "process/device boundaries").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from foundpose_tpu import geometry
+from foundpose_tpu.models import dinov2
+from foundpose_tpu.ops import sampling
+from foundpose_tpu.ops.pca import pca_transform
+from foundpose_tpu.ops.tfidf import tfidf_retrieve
+from foundpose_tpu.pose import corresp as corresp_mod
+from foundpose_tpu.pose import pnp as pnp_mod
+from foundpose_tpu.repre import ObjectRepre
+from foundpose_tpu.structs import PinholeCamera
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Static pipeline options. Defaults follow the published LM-O setup
+    (reference: configs/infer/lmo.json:1-25, scripts/infer.py:55-100)."""
+
+    crop_size: Tuple[int, int] = (420, 420)
+    grid_cell_size: float = 14.0
+    top_n_templates: int = 5
+    top_k_buddies: int = 300
+    pnp_ransac_iter: int = 400
+    pnp_inlier_thresh: float = 10.0
+    pnp_refine_lm: bool = True
+    lm_iters: int = 10
+    compute_dtype: Any = jnp.float32
+
+
+class PoseOutputs(NamedTuple):
+    """Batched pose estimates (leading axis = crops)."""
+
+    success: Array  # [B] bool
+    R_m2c: Array  # [B, 3, 3] model -> crop-camera
+    t_m2c: Array  # [B, 3]
+    R_m2w: Array  # [B, 3, 3] model -> world
+    t_m2w: Array  # [B, 3]
+    quality: Array  # [B] inlier count of the winning hypothesis
+    template_ids: Array  # [B, top_n] retrieved templates
+    template_scores: Array  # [B, top_n]
+    best_template: Array  # [B] winning template id
+    per_template_quality: Array  # [B, top_n]
+    num_queries: Array  # [B] valid query-point count
+
+
+def query_features_from_map(
+    feature_map: Array,
+    mask: Array,
+    crop_size: Tuple[int, int],
+    grid_cell_size: float,
+) -> Tuple[Array, Array, Array]:
+    """Grid query points + sampled features + validity for one crop.
+
+    (reference: scripts/infer.py:477-498; utils/feature_util.py:25-131)
+    """
+    points = sampling.grid_points(crop_size, grid_cell_size)
+    valid = sampling.points_in_mask(points, mask)
+    feats = sampling.sample_feature_map(feature_map, points, crop_size)
+    return points, feats, valid
+
+
+def pose_from_features(
+    feature_maps: Array,
+    masks: Array,
+    cameras: PinholeCamera,
+    repre: ObjectRepre,
+    key: Array,
+    config: InferenceConfig,
+) -> PoseOutputs:
+    """Retrieval + matching + PnP for a batch of crop feature maps.
+
+    Args:
+        feature_maps: [B, Hf, Wf, D_raw].
+        masks: [B, H, W] modal masks in crop space.
+        cameras: batched crop cameras (leading dim B).
+        repre: object representation (device-resident).
+        key: PRNG key (hypothesis sampling).
+    """
+    b = feature_maps.shape[0]
+    cdt = config.compute_dtype
+
+    def per_crop(fmap, mask, cam_f, cam_c, crop_key):
+        points, feats, valid = query_features_from_map(
+            fmap, mask, config.crop_size, config.grid_cell_size
+        )
+        # PCA projection (one matmul; reference: scripts/infer.py:507-520).
+        if repre.raw_projector is not None:
+            feats = pca_transform(repre.raw_projector, feats)
+        feats = feats.astype(cdt)
+        validf = valid.astype(cdt)
+
+        # tf-idf template retrieval (reference: template_util.py:126-176).
+        template_ids, template_scores = tfidf_retrieve(
+            feats,
+            repre.word_centroids.astype(cdt),
+            repre.word_idfs.astype(cdt),
+            repre.template_descs.astype(cdt),
+            top_n=config.top_n_templates,
+            config=repre.tfidf_config,
+            query_mask=validf,
+        )
+
+        # Cyclic-buddy correspondences per retrieved template.
+        cors = corresp_mod.establish_correspondences(
+            points,
+            feats,
+            valid,
+            template_ids,
+            template_scores,
+            repre.bank_feats.astype(cdt),
+            repre.bank_vertices,
+            repre.bank_mask,
+            top_k=config.top_k_buddies,
+        )
+
+        # RANSAC-PnP per template hypothesis set.
+        pnp_keys = jax.random.split(crop_key, config.top_n_templates)
+        results = jax.vmap(
+            lambda c2, c3, v, k: pnp_mod.ransac_pnp(
+                c2,
+                c3,
+                v,
+                cam_f,
+                cam_c,
+                k,
+                num_hypotheses=config.pnp_ransac_iter,
+                inlier_thresh=config.pnp_inlier_thresh,
+                refine_lm=config.pnp_refine_lm,
+                lm_iters=config.lm_iters,
+            )
+        )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
+
+        # Best-by-inlier-count selection (reference: scripts/infer.py:593-602).
+        quality = jnp.where(results.success, results.quality, -1.0)
+        best = jnp.argmax(quality)
+        return (
+            results.success[best],
+            results.R[best],
+            results.t[best],
+            quality[best],
+            template_ids,
+            template_scores,
+            template_ids[best],
+            results.quality,
+            jnp.sum(validf),
+        )
+
+    keys = jax.random.split(key, b)
+    (
+        success,
+        r_m2c,
+        t_m2c,
+        quality,
+        template_ids,
+        template_scores,
+        best_template,
+        per_tpl_quality,
+        num_queries,
+    ) = jax.vmap(per_crop)(feature_maps, masks, cameras.f, cameras.c, keys)
+
+    # Express poses in the world frame through the crop camera extrinsics
+    # (reference: scripts/infer.py:658-666).
+    t_c2w = cameras.T_world_from_eye
+    m2c = geometry.as_4x4_rt(r_m2c, t_m2c)
+    m2w = jnp.matmul(t_c2w, m2c, precision=jax.lax.Precision.HIGHEST)
+
+    return PoseOutputs(
+        success=success,
+        R_m2c=r_m2c,
+        t_m2c=t_m2c,
+        R_m2w=m2w[..., :3, :3],
+        t_m2w=m2w[..., :3, 3],
+        quality=quality,
+        template_ids=template_ids,
+        template_scores=template_scores,
+        best_template=best_template,
+        per_template_quality=per_tpl_quality,
+        num_queries=num_queries,
+    )
+
+
+def pose_from_crops(
+    vit_params: Dict[str, Any],
+    vit_cfg: dinov2.DinoV2Config,
+    crops: Array,
+    masks: Array,
+    cameras: PinholeCamera,
+    repre: ObjectRepre,
+    key: Array,
+    config: InferenceConfig,
+) -> PoseOutputs:
+    """Full online pipeline: images in, world-frame poses out (one XLA program).
+
+    Args:
+        crops: [B, H, W, 3] float RGB in [0, 1] (already warped to the crop
+            cameras, reference: scripts/infer.py:438-449).
+        masks: [B, H, W] modal masks in crop space.
+    """
+    images = dinov2.normalize_images(crops).astype(config.compute_dtype)
+    out = dinov2.extract_facet(vit_params, vit_cfg, images)
+    feature_maps = out["feature_maps"].astype(jnp.float32)
+    return pose_from_features(feature_maps, masks, cameras, repre, key, config)
+
+
+def jit_pose_from_crops(vit_cfg: dinov2.DinoV2Config, config: InferenceConfig):
+    """Returns the jitted end-to-end step with static configs closed over."""
+
+    @jax.jit
+    def step(vit_params, crops, masks, cameras, repre, key):
+        return pose_from_crops(
+            vit_params, vit_cfg, crops, masks, cameras, repre, key, config
+        )
+
+    return step
