@@ -70,7 +70,8 @@ def calc_tfidf(
 
     tf = (weights / num_feats).reshape(-1)
     ids_flat = word_ids.reshape(-1)
-    tfidf = tf * word_idfs[ids_flat]
+    # Guard 0 * inf -> NaN for masked features hitting unbounded idfs.
+    tfidf = jnp.where(tf > 0, tf * word_idfs[ids_flat], 0.0)
     return jax.ops.segment_sum(tfidf, ids_flat, num_segments=word_idfs.shape[0])
 
 
@@ -94,7 +95,10 @@ def calc_word_idfs(
     presence = jnp.zeros((num_templates, num_words), dtype=jnp.float32)
     presence = presence.at[feat_to_template_ids, feat_to_word_ids].max(ones)
     occurrences = jnp.sum(presence, axis=0)
-    return jnp.log(float(num_templates) / occurrences)
+    # Unused words get the maximum (finite) idf instead of the reference's
+    # log(T/0)=inf — queries can still be soft-assigned to them via their
+    # k>1 neighbors and an infinite idf would poison the whole descriptor.
+    return jnp.log(float(num_templates) / jnp.maximum(occurrences, 1.0))
 
 
 def assign_words(

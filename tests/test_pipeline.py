@@ -14,7 +14,7 @@ from foundpose_tpu.structs import PinholeCamera
 
 
 def make_synthetic_world(rng, num_templates=8, pts_per_template=64, feat_dim=32,
-                         num_words=64):
+                         num_words=None):
     """Object = 3D point cloud where each point has a unique descriptor.
 
     Each template sees a subset of the points. Queries built from a GT pose
@@ -37,7 +37,11 @@ def make_synthetic_world(rng, num_templates=8, pts_per_template=64, feat_dim=32,
     vertices = np.concatenate(vertices)
     tpl_ids = np.concatenate(tpl_ids).astype(np.int32)
 
-    # Codebook: k-means-free stand-in — random subset of descriptors.
+    # Codebook: k-means-free stand-in — one word per object point, so word
+    # occupancy differs between templates and idfs are discriminative (as with
+    # the real 2048-word codebook over ~300 feats/template).
+    if num_words is None:
+        num_words = n_points
     words = obj_feats[rng.choice(n_points, size=num_words, replace=False)]
     words = words + 0.01 * rng.normal(size=words.shape).astype(np.float32)
 
@@ -86,16 +90,15 @@ def render_synthetic_query(rng, obj_points, obj_feats, tpl_point_ids, target_tpl
     fmap = rng.normal(size=(gh, gw, d)).astype(np.float32) * 0.05
     mask = np.zeros((crop_size[1], crop_size[0]), dtype=np.float32)
 
-    # Place each projected point's descriptor in its grid cell.
+    # Place each projected point's descriptor in its grid cell; the mask
+    # covers exactly those cells so every valid query is a true descriptor.
+    c = int(cell)
     for p, f in zip(proj, feats):
         cx = int(p[0] // cell)
         cy = int(p[1] // cell)
         if 0 <= cx < gw and 0 <= cy < gh:
             fmap[cy, cx] = f
-            mask[
-                max(0, int(p[1]) - 10) : int(p[1]) + 10,
-                max(0, int(p[0]) - 10) : int(p[0]) + 10,
-            ] = 1.0
+            mask[cy * c : (cy + 1) * c, cx * c : (cx + 1) * c] = 1.0
     camera = PinholeCamera(
         f=jnp.asarray(k_f), c=jnp.asarray(k_c),
         T_world_from_eye=jnp.eye(4), width=420, height=420,
