@@ -1,0 +1,231 @@
+"""Multi-chip inference: DP over crops + bank-sharded template retrieval.
+
+No reference counterpart (the reference is strictly single-device,
+SURVEY.md §2.4); this is the TPU-native scale-out design:
+
+- Detection crops are sharded over the `data` mesh axis (each device runs the
+  ViT + matching for its shard of crops).
+- The object's template descriptor bank is sharded over the `bank` axis:
+  tf-idf retrieval computes local cosine scores + a local top-n per bank
+  shard, merges with an `all_gather` over `bank` (a few KB), and fetches the
+  winning templates' feature banks with a masked `psum` — the owner
+  contributes its slice, everyone else zeros. All collectives ride ICI.
+- Matching + RANSAC then run data-parallel on the gathered top-n banks.
+
+Built on `shard_map` so the collective schedule is explicit and inspectable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from foundpose_tpu import geometry
+from foundpose_tpu.models import dinov2
+from foundpose_tpu.ops.pca import pca_transform
+from foundpose_tpu.ops.tfidf import assign_words, calc_tfidf
+from foundpose_tpu.parallel.mesh import BANK_AXIS, DATA_AXIS
+from foundpose_tpu.pipeline.inference import (
+    InferenceConfig,
+    PoseOutputs,
+    query_features_from_map,
+)
+from foundpose_tpu.pose import corresp as corresp_mod
+from foundpose_tpu.pose import pnp as pnp_mod
+from foundpose_tpu.repre import ObjectRepre
+from foundpose_tpu.structs import PinholeCamera
+
+Array = jax.Array
+
+
+def _retrieve_sharded(
+    feats: Array,
+    validf: Array,
+    word_centroids: Array,
+    word_idfs: Array,
+    template_descs_local: Array,
+    top_n: int,
+    tfidf_config,
+) -> tuple[Array, Array]:
+    """tf-idf retrieval with the template-descriptor bank sharded over BANK_AXIS.
+
+    Returns global (template_ids [top_n], scores [top_n]) for one crop.
+    """
+    word_ids, word_dists = assign_words(
+        feats, word_centroids, tfidf_config.knn_k, tfidf_config.metric
+    )
+    q = calc_tfidf(
+        word_ids,
+        word_dists,
+        word_idfs,
+        soft_assign=tfidf_config.soft_assign,
+        soft_sigma_squared=tfidf_config.soft_sigma_squared,
+        feature_mask=validf,
+    )
+    qn = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    tn = template_descs_local / jnp.maximum(
+        jnp.linalg.norm(template_descs_local, axis=-1, keepdims=True), 1e-12
+    )
+    local_sims = tn @ qn  # [T_local]
+    t_local = local_sims.shape[0]
+    k = min(top_n, t_local)
+    local_scores, local_ids = jax.lax.top_k(local_sims, k)
+
+    # Merge across the bank axis: gather every shard's local top-k (tiny).
+    my_shard = jax.lax.axis_index(BANK_AXIS)
+    global_ids = local_ids + my_shard * t_local
+    all_scores = jax.lax.all_gather(local_scores, BANK_AXIS).reshape(-1)
+    all_ids = jax.lax.all_gather(global_ids, BANK_AXIS).reshape(-1)
+    scores, sel = jax.lax.top_k(all_scores, top_n)
+    return all_ids[sel], scores
+
+
+def _fetch_banks(
+    template_ids: Array,
+    bank_feats_local: Array,
+    bank_vertices_local: Array,
+    bank_mask_local: Array,
+) -> tuple[Array, Array, Array]:
+    """Gathers the [top_n] selected templates' banks from the bank shards.
+
+    The owner shard contributes its slice, others contribute zeros; a psum
+    over BANK_AXIS broadcasts the result to all shards (a few MB over ICI).
+    """
+    t_local = bank_feats_local.shape[0]
+    my_shard = jax.lax.axis_index(BANK_AXIS)
+
+    def fetch_one(tid):
+        owner = tid // t_local
+        local_idx = tid % t_local
+        is_mine = (owner == my_shard).astype(bank_feats_local.dtype)
+        f = bank_feats_local[local_idx] * is_mine
+        v = bank_vertices_local[local_idx] * is_mine
+        m = bank_mask_local[local_idx].astype(bank_feats_local.dtype) * is_mine
+        return f, v, m
+
+    f, v, m = jax.vmap(fetch_one)(template_ids)
+    f = jax.lax.psum(f, BANK_AXIS)
+    v = jax.lax.psum(v, BANK_AXIS)
+    m = jax.lax.psum(m, BANK_AXIS)
+    return f, v, m > 0.5
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    vit_cfg: dinov2.DinoV2Config,
+    config: InferenceConfig,
+    repre: ObjectRepre,
+):
+    """Builds the jitted multi-chip step for one object representation.
+
+    Returns step(vit_params, crops, masks, cameras, key) -> PoseOutputs.
+    Crops/masks/cameras must be placed with `mesh.crop_sharding`, the repre
+    with `mesh.shard_repre`. The global batch must divide the data axis.
+    """
+    from jax import shard_map
+
+    tfidf_config = repre.tfidf_config
+    has_pca = repre.raw_projector is not None
+
+    def inner(vit_params, crops, masks, cam_f, cam_c, repre_arrays, key):
+        (word_centroids, word_idfs, template_descs_local, bank_feats_local,
+         bank_vertices_local, bank_mask_local, raw_projector) = repre_arrays
+
+        images = dinov2.normalize_images(crops).astype(config.compute_dtype)
+        fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
+        fmaps = fmaps.astype(jnp.float32)
+
+        # Distinct PRNG keys per global crop, sliced to this data shard.
+        b_local = crops.shape[0]
+        my_data = jax.lax.axis_index(DATA_AXIS)
+        keys_all = jax.random.split(key, jax.lax.axis_size(DATA_AXIS) * b_local)
+        keys = jax.lax.dynamic_slice_in_dim(keys_all, my_data * b_local, b_local)
+
+        def one(fmap, mask, kf, kc, k):
+            points, feats, valid = query_features_from_map(
+                fmap, mask, config.crop_size, config.grid_cell_size
+            )
+            if has_pca:
+                feats = pca_transform(raw_projector, feats)
+            validf = valid.astype(feats.dtype)
+            template_ids, template_scores = _retrieve_sharded(
+                feats, validf, word_centroids, word_idfs,
+                template_descs_local, config.top_n_templates, tfidf_config,
+            )
+            sel_feats, sel_verts, sel_mask = _fetch_banks(
+                template_ids, bank_feats_local, bank_vertices_local,
+                bank_mask_local,
+            )
+
+            def per_template(bfeats, bverts, bmask, kk):
+                q_ids, o_ids, _, _, bvalid = corresp_mod.cyclic_buddies(
+                    points, feats, valid, bfeats, bmask, config.top_k_buddies
+                )
+                return pnp_mod.ransac_pnp(
+                    points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
+                    num_hypotheses=config.pnp_ransac_iter,
+                    inlier_thresh=config.pnp_inlier_thresh,
+                    refine_lm=config.pnp_refine_lm,
+                    lm_iters=config.lm_iters,
+                )
+
+            ks = jax.random.split(k, config.top_n_templates)
+            results = jax.vmap(per_template)(sel_feats, sel_verts, sel_mask, ks)
+            quality = jnp.where(results.success, results.quality, -1.0)
+            best = jnp.argmax(quality)
+            return (
+                results.success[best], results.R[best], results.t[best],
+                quality[best], template_ids, template_scores,
+                template_ids[best], results.quality, jnp.sum(validf),
+            )
+
+        return jax.vmap(one)(fmaps, masks, cam_f, cam_c, keys)
+
+    data_spec = P(DATA_AXIS)
+    rep_spec = P()
+    bank_spec = P(BANK_AXIS)
+
+    shard_fn = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(
+            rep_spec,  # vit params (replicated pytree)
+            data_spec,  # crops
+            data_spec,  # masks
+            data_spec,  # cam_f
+            data_spec,  # cam_c
+            (rep_spec, rep_spec, bank_spec, bank_spec, bank_spec, bank_spec,
+             rep_spec),
+            rep_spec,  # key
+        ),
+        out_specs=data_spec,
+        check_rep=False,
+    )
+
+    @jax.jit
+    def step(vit_params, crops, masks, cameras: PinholeCamera, key):
+        repre_arrays = (
+            repre.word_centroids, repre.word_idfs, repre.template_descs,
+            repre.bank_feats, repre.bank_vertices, repre.bank_mask,
+            repre.raw_projector,
+        )
+        (success, r_m2c, t_m2c, quality, template_ids, template_scores,
+         best_template, per_tpl_quality, num_queries) = shard_fn(
+            vit_params, crops, masks, cameras.f, cameras.c, repre_arrays, key
+        )
+        m2c = geometry.as_4x4_rt(r_m2c, t_m2c)
+        m2w = jnp.matmul(
+            cameras.T_world_from_eye, m2c, precision=jax.lax.Precision.HIGHEST
+        )
+        return PoseOutputs(
+            success=success, R_m2c=r_m2c, t_m2c=t_m2c,
+            R_m2w=m2w[..., :3, :3], t_m2w=m2w[..., :3, 3],
+            quality=quality, template_ids=template_ids,
+            template_scores=template_scores, best_template=best_template,
+            per_template_quality=per_tpl_quality, num_queries=num_queries,
+        )
+
+    return step
