@@ -202,7 +202,7 @@ def make_sharded_step(
             rep_spec,  # key
         ),
         out_specs=data_spec,
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

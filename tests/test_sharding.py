@@ -128,7 +128,7 @@ def test_sharded_pipeline_matches_single_device(rng):
             P(), P(), P(),
         ),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     success, r_est, t_est, quality, tids = jax.jit(fn)(
         fmaps, masks, cameras.f, cameras.c,
