@@ -1,0 +1,94 @@
+"""End-to-end throughput benchmark: detection crops/sec on one TPU chip.
+
+Measures the full online coarse-pose pipeline (DINOv2 ViT-S/14-reg features ->
+PCA -> tf-idf retrieval over 798 templates -> cyclic-buddy matching ->
+400-hypothesis RANSAC-PnP + LM) at the published LM-O configuration
+(reference: configs/infer/lmo.json), batched over crops, as one jitted XLA
+program.
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md).
+Its per-crop wall time is dominated by Python loops, faiss CPU round-trips,
+and cv2 PnP on top of a single-crop GPU ViT forward; stage timers in the
+reference log ~0.4-0.6 s/crop on a datacenter GPU => ~2 crops/sec is the
+assumed reference throughput used for `vs_baseline` until a measured number
+replaces it (tracked in BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_CROPS_PER_SEC = 2.0  # assumed reference GPU pipeline (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _realistic_repre
+    from foundpose_tpu.models import dinov2
+    from foundpose_tpu.pipeline import inference
+    from foundpose_tpu.structs import PinholeCamera
+
+    rng = np.random.default_rng(0)
+    vit_cfg = dinov2.parse_model_name(
+        "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+    )
+    params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+    repre = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,
+                             num_words=2048, raw_dim=384)
+
+    batch = 16
+    crops = jnp.asarray(rng.uniform(size=(batch, 420, 420, 3)).astype(np.float32))
+    mask_np = np.zeros((batch, 420, 420), dtype=np.float32)
+    mask_np[:, 80:340, 80:340] = (
+        rng.uniform(size=(batch, 260, 260)) > 0.4
+    ).astype(np.float32)
+    masks = jnp.asarray(mask_np)
+    cameras = PinholeCamera(
+        f=jnp.tile(jnp.asarray([[600.0, 600.0]]), (batch, 1)),
+        c=jnp.tile(jnp.asarray([[209.5, 209.5]]), (batch, 1)),
+        T_world_from_eye=jnp.tile(jnp.eye(4)[None], (batch, 1, 1)),
+        width=420,
+        height=420,
+    )
+    config = inference.InferenceConfig(compute_dtype=jnp.bfloat16)
+    step = inference.jit_pose_from_crops(vit_cfg, config)
+
+    key = jax.random.PRNGKey(1)
+    # Warmup / compile.
+    out = step(params, crops, masks, cameras, repre, key)
+    jax.block_until_ready(out)
+
+    # Timed steps.
+    n_iters = 8
+    start = time.perf_counter()
+    for i in range(n_iters):
+        out = step(params, crops, masks, cameras, repre, jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    crops_per_sec = batch * n_iters / elapsed
+    print(
+        f"[bench] {batch=} {n_iters=} elapsed={elapsed:.3f}s "
+        f"-> {crops_per_sec:.2f} crops/sec",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "lmo_coarse_pose_crops_per_sec_per_chip",
+                "value": round(crops_per_sec, 2),
+                "unit": "crops/sec",
+                "vs_baseline": round(crops_per_sec / REFERENCE_CROPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -183,9 +183,13 @@ def init_params(key: Array, cfg: DinoV2Config, dtype=jnp.float32) -> Dict[str, A
 
 
 def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # Statistics in f32 for bf16 stability; output in the compute dtype.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _attention(x: Array, p: Dict[str, Array], cfg: DinoV2Config) -> Array:
@@ -316,7 +320,7 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
     """Runs blocks [0, upto) via lax.scan over the stacked parameter pytree."""
     if upto == 0:
         return x
-    sliced = jax.tree.map(lambda a: a[:upto], blocks)
+    sliced = jax.tree.map(lambda a: a[:upto].astype(x.dtype), blocks)
 
     def body(h, p):
         return _block(h, p, cfg), None
@@ -349,7 +353,7 @@ def extract_facet(
         feats = x
     elif cfg.facet in ("query", "key", "value"):
         x = _run_blocks(x, blocks, cfg, cfg.layer)
-        p = jax.tree.map(lambda a: a[cfg.layer], blocks)
+        p = jax.tree.map(lambda a: a[cfg.layer].astype(x.dtype), blocks)
         xn = _layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
         qkv = xn @ p["qkv_kernel"] + p["qkv_bias"]
         b, t, _ = qkv.shape

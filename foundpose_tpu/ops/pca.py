@@ -11,21 +11,26 @@ the reference's GPU->CPU->sklearn->GPU round trip
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 Array = jax.Array
 
 
-class PCA(NamedTuple):
-    """Fitted PCA parameters; a pytree that serializes into the object repre."""
+@struct.dataclass
+class PCA:
+    """Fitted PCA parameters; a pytree that serializes into the object repre.
+
+    `whiten` is static so `pca_transform` stays branch-free under jit.
+    """
 
     mean: Array  # [D]
     components: Array  # [C, D] rows = principal axes (sklearn layout)
     explained_variance: Array  # [C]
-    whiten: bool
+    whiten: bool = struct.field(pytree_node=False, default=False)
 
 
 @partial(jax.jit, static_argnames=("num_components", "whiten"))
