@@ -60,16 +60,22 @@ def main():
     step = inference.jit_pose_from_crops(vit_cfg, config)
 
     key = jax.random.PRNGKey(1)
-    # Warmup / compile.
+    # Warmup / compile. NOTE: some backends (axon tunnel) defer execution
+    # until a device->host fetch, so warmup and timing must both end with a
+    # scalar fetch; steps are chained through a data dependency so the timed
+    # region provably executes all of them.
     out = step(params, crops, masks, cameras, repre, key)
-    jax.block_until_ready(out)
+    _ = float(jnp.sum(out.quality))
 
-    # Timed steps.
     n_iters = 8
     start = time.perf_counter()
+    carry = jnp.float32(0.0)
     for i in range(n_iters):
-        out = step(params, crops, masks, cameras, repre, jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
+        out = step(
+            params, crops + carry * 0.0, masks, cameras, repre, jax.random.PRNGKey(i)
+        )
+        carry = jnp.sum(out.quality)
+    _ = float(carry)
     elapsed = time.perf_counter() - start
 
     crops_per_sec = batch * n_iters / elapsed

@@ -1,0 +1,128 @@
+import dataclasses
+import json
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pytest
+
+from foundpose_tpu.data import detections as det_mod
+from foundpose_tpu.utils import config as cfg_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class DemoOpts:
+    version: str
+    object_lids: Optional[List[int]] = None
+    crop_size: Tuple[int, int] = (420, 420)
+    use_detections: bool = True
+    crop_rel_pad: float = 0.2
+
+
+def test_camel_to_snake():
+    assert cfg_mod.camel_to_snake("GenTemplatesOpts") == "gen_templates_opts"
+    assert cfg_mod.camel_to_snake("InferOpts") == "infer_opts"
+
+
+def test_load_opts_from_json(tmp_path):
+    p = tmp_path / "opts.json"
+    p.write_text(
+        json.dumps(
+            {
+                "demo_opts": {
+                    "version": "v1",
+                    "object_lids": [1, 5],
+                    "crop_size": [630, 476],
+                    "use_detections": False,
+                }
+            }
+        )
+    )
+    opts = cfg_mod.load_opts(DemoOpts, ["--opts-path", str(p)])
+    assert opts.version == "v1"
+    assert opts.object_lids == [1, 5]
+    assert opts.crop_size == (630, 476)
+    assert opts.use_detections is False
+    assert opts.crop_rel_pad == 0.2
+
+
+def test_load_opts_from_cli():
+    opts = cfg_mod.load_opts(
+        DemoOpts,
+        ["--version", "v2", "--object-lids", "3", "7", "--crop-rel-pad", "0.5",
+         "--use-detections", "false"],
+    )
+    assert opts.version == "v2"
+    assert opts.object_lids == [3, 7]
+    assert opts.crop_rel_pad == 0.5
+    assert opts.use_detections is False
+
+
+def test_load_opts_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "opts.json"
+    p.write_text(json.dumps({"demo_opts": {"version": "v1", "bogus": 1}}))
+    with pytest.raises(ValueError, match="bogus"):
+        cfg_mod.load_opts(DemoOpts, ["--opts-path", str(p)])
+
+
+def test_load_opts_missing_required(tmp_path):
+    p = tmp_path / "opts.json"
+    p.write_text(json.dumps({"demo_opts": {}}))
+    with pytest.raises(ValueError, match="version"):
+        cfg_mod.load_opts(DemoOpts, ["--opts-path", str(p)])
+
+
+def test_save_opts_roundtrip(tmp_path):
+    opts = DemoOpts(version="v3", object_lids=[2])
+    path = str(tmp_path / "snap.json")
+    cfg_mod.save_opts(opts, path)
+    back = cfg_mod.load_opts(DemoOpts, ["--opts-path", path])
+    assert back == opts
+
+
+# ---------------------------------------------------------------------------
+# Detections
+# ---------------------------------------------------------------------------
+
+
+def test_rle_roundtrip():
+    mask = np.zeros((5, 7), dtype=bool)
+    mask[1:4, 2:5] = True
+    # Build uncompressed RLE (column-major) manually.
+    flat = mask.T.flatten()
+    counts = []
+    run_val = False
+    run = 0
+    for v in flat:
+        if v == run_val:
+            run += 1
+        else:
+            counts.append(run)
+            run_val = v
+            run = 1
+    counts.append(run)
+    rle = {"counts": counts, "size": [5, 7]}
+    back = det_mod.rle_to_mask(rle)
+    np.testing.assert_array_equal(back, mask)
+
+
+def test_instances_for_pose_estimation():
+    dets = [
+        {"scene_id": 1, "image_id": 2, "category_id": 5, "score": 0.9,
+         "bbox": [10, 20, 30, 40], "time": 0.3},
+        {"scene_id": 1, "image_id": 2, "category_id": 5, "score": 0.5,
+         "bbox": [5, 5, 10, 10]},
+        {"scene_id": 1, "image_id": 2, "category_id": 5, "score": 0.7,
+         "bbox": [0, 0, 8, 8]},
+    ]
+    out = det_mod.instances_for_pose_estimation(dets, max_num_preds=2,
+                                                crop_offset=(5, 2))
+    assert len(out) == 2
+    assert out[0].score == 0.9 and out[1].score == 0.7
+    np.testing.assert_allclose(out[0].box_xyxy, [5, 18, 35, 58])
+
+
+def test_associate_gt_by_iou():
+    det_box = np.array([0, 0, 10, 10], dtype=np.float32)
+    gts = [np.array([20, 20, 30, 30]), np.array([1, 1, 11, 11]), None]
+    assert det_mod.associate_gt_by_iou(det_box, gts) == 1
+    assert det_mod.associate_gt_by_iou(det_box, [np.array([50, 50, 60, 60])]) == -1
