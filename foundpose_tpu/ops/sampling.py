@@ -79,6 +79,34 @@ def sample_feature_map(
     return bilinear_sample(feature_map_hwc, fm_pts)
 
 
+def lift_points_to_3d(
+    points: Array, depth_image: Array, cam_f: Array, cam_c: Array
+) -> Array:
+    """Lifts 2D image points to camera-space 3D using a depth image.
+
+    Matches the reference's averaged-focal model with depth fetched at the
+    floored pixel (reference: utils/feature_util.py:134-157).
+
+    Args:
+        points: [N, 2] (x, y) image coordinates.
+        depth_image: [H, W] depth in the camera's units.
+        cam_f: [2] (fx, fy); cam_c: [2] (cx, cy).
+    Returns:
+        [N, 3] camera-space points.
+    """
+    h, w = depth_image.shape
+    focal = 0.5 * (cam_f[0] + cam_f[1])
+    xy = points - cam_c
+    ray = jnp.concatenate(
+        [xy, jnp.full(points.shape[:-1] + (1,), 1.0, dtype=points.dtype) * focal],
+        axis=-1,
+    )
+    xi = jnp.clip(jnp.floor(points[..., 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.floor(points[..., 1]).astype(jnp.int32), 0, h - 1)
+    depths = depth_image[yi, xi]
+    return ray * (depths / ray[..., 2])[..., None]
+
+
 def subsample_points(
     points: Array, valid: Array, max_count: int, key: Optional[Array] = None
 ) -> Array:

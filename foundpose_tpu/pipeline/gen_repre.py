@@ -1,0 +1,308 @@
+"""Object-representation build: batched feature registration + PCA + BoW.
+
+Re-design of the reference repre builder
+(reference: scripts/gen_repre.py:67-408). Instead of one ViT forward + one
+feature registration per template in a Python loop (reference :107-217), all
+templates are processed in batched jitted chunks on the TPU: feature
+extraction, mask erosion, grid sampling, depth lifting and model-frame
+registration are a single XLA program per chunk, and PCA / k-means / tf-idf
+run as on-device kernels (ops/pca.py, ops/kmeans.py, ops/tfidf.py) instead of
+sklearn/faiss CPU round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from foundpose_tpu import geometry
+from foundpose_tpu.models import dinov2, weights as weights_mod
+from foundpose_tpu.ops import morphology, sampling
+from foundpose_tpu.ops.kmeans import kmeans
+from foundpose_tpu.ops.pca import PCA, fit_pca, pca_transform
+from foundpose_tpu.ops.tfidf import TfidfConfig, calc_template_tfidf_descriptors
+from foundpose_tpu.repre import ObjectRepre, make_repre, save_repre
+from foundpose_tpu.structs import PinholeCamera
+from foundpose_tpu.utils import config as config_util
+from foundpose_tpu.utils.logging_util import Timer, get_logger, log_heading
+
+logger = get_logger()
+
+
+@dataclasses.dataclass(frozen=True)
+class GenRepreOpts:
+    """(reference: scripts/gen_repre.py:37-64)"""
+
+    version: str = "v1"
+    templates_version: str = "v1"
+    object_dataset: str = "lmo"
+    object_lids: Optional[List[int]] = None
+
+    extractor_name: str = (
+        "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+    )
+    grid_cell_size: float = 14.0
+    weights_path: Optional[str] = None  # DINOv2 checkpoint (.pth); None = random
+
+    apply_pca: bool = True
+    pca_components: int = 256
+    pca_whiten: bool = False
+    max_num_feats_for_pca: int = 100000
+
+    cluster_features: bool = True
+    cluster_num: int = 2048
+
+    tfidf_knn_k: int = 3
+    tfidf_knn_metric: str = "l2"
+    tfidf_soft_assign: bool = False
+    tfidf_soft_sigma_squared: float = 10.0
+
+    batch_size: int = 16
+    overwrite: bool = False
+
+    templates_dir: str = ""
+    output_dir: str = ""
+
+
+def load_template_arrays(metadata: List[dict]) -> Tuple[np.ndarray, ...]:
+    """Loads all template rgb/depth/mask images + cameras from metadata.
+
+    Accepts both our metadata and the reference's released format
+    (reference consumption: scripts/gen_repre.py:100-135).
+    """
+    from foundpose_tpu.pipeline.gen_templates import camera_from_json, load_depth_png
+
+    images, depths, masks, cam_f, cam_c, cam_t = [], [], [], [], [], []
+    width = height = None
+    for item in metadata:
+        img = np.asarray(Image.open(item["rgb_image_path"]).convert("RGB"))
+        depth = load_depth_png(item["depth_map_path"])
+        mask = np.asarray(Image.open(item["binary_mask_path"])) > 0
+        cam = camera_from_json(item["cameras"])
+        images.append(img.astype(np.float32) / 255.0)
+        depths.append(depth)
+        masks.append(mask.astype(np.float32))
+        cam_f.append(np.asarray(cam.f))
+        cam_c.append(np.asarray(cam.c))
+        cam_t.append(np.asarray(cam.T_world_from_eye))
+        width, height = cam.width, cam.height
+    return (
+        np.stack(images),
+        np.stack(depths),
+        np.stack(masks),
+        np.stack(cam_f).astype(np.float32),
+        np.stack(cam_c).astype(np.float32),
+        np.stack(cam_t).astype(np.float32),
+        (width, height),
+    )
+
+
+def make_registration_fn(vit_cfg, grid_cell_size: float, crop_size: Tuple[int, int]):
+    """Builds the jitted per-chunk feature-registration function.
+
+    chunk: (images [B,H,W,3], depths [B,H,W], masks [B,H,W], cam_f [B,2],
+    cam_c [B,2], cam_t [B,4,4]) -> (feats [B,Q,D], verts [B,Q,3], valid [B,Q]).
+    (reference per-template equivalent: utils/feature_util.py:160-237)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def register(params, images, depths, masks, cam_f, cam_c, cam_t):
+        fmaps = dinov2.extract_facet(
+            params, vit_cfg, dinov2.normalize_images(images)
+        )["feature_maps"]
+
+        def per_template(fmap, depth, mask, kf, kc, kt):
+            eroded = morphology.erode(mask, 5, border="zero")
+            points = sampling.grid_points(crop_size, grid_cell_size)
+            valid = sampling.points_in_mask(points, eroded)
+            feats = sampling.sample_feature_map(fmap, points, crop_size)
+            pts_cam = sampling.lift_points_to_3d(points, depth, kf, kc)
+            # world frame == model frame for templates (m2w identity).
+            verts = geometry.transform_points(kt, pts_cam)
+            return feats, verts, valid
+
+        return jax.vmap(per_template)(fmaps, depths, masks, cam_f, cam_c, cam_t)
+
+    return register
+
+
+def generate_repre(
+    opts: GenRepreOpts,
+    metadata: List[dict],
+    vit_params=None,
+    output_dir: Optional[str] = None,
+) -> ObjectRepre:
+    """Builds and (optionally) saves the repre for one object."""
+    import jax
+    import jax.numpy as jnp
+
+    timer = Timer(logger=logger)
+    vit_cfg = dinov2.parse_model_name(opts.extractor_name)
+    if vit_params is None:
+        if opts.weights_path:
+            vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
+        else:
+            logger.warning("No DINOv2 weights_path given; using random init.")
+            vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+
+    timer.start()
+    images, depths, masks, cam_f, cam_c, cam_t, (w, h) = load_template_arrays(metadata)
+    timer.elapsed("Template loading")
+
+    register = make_registration_fn(vit_cfg, opts.grid_cell_size, (w, h))
+
+    # Batched chunks (pad the last one to keep a single compiled shape).
+    num_t = len(images)
+    bs = opts.batch_size
+    feats_l, verts_l, valid_l = [], [], []
+    timer.start()
+    for s in range(0, num_t, bs):
+        e = min(s + bs, num_t)
+        pad = bs - (e - s)
+        sl = slice(s, e)
+
+        def pad0(a):
+            if pad == 0:
+                return a[sl]
+            return np.concatenate([a[sl], np.repeat(a[e - 1 : e], pad, axis=0)])
+
+        f, v, m = register(
+            vit_params,
+            jnp.asarray(pad0(images)),
+            jnp.asarray(pad0(depths)),
+            jnp.asarray(pad0(masks)),
+            jnp.asarray(pad0(cam_f)),
+            jnp.asarray(pad0(cam_c)),
+            jnp.asarray(pad0(cam_t)),
+        )
+        n = e - s
+        feats_l.append(np.asarray(f)[:n])
+        verts_l.append(np.asarray(v)[:n])
+        valid_l.append(np.asarray(m)[:n])
+    feats = np.concatenate(feats_l)  # [T, Q, D]
+    verts = np.concatenate(verts_l)
+    valid = np.concatenate(valid_l)
+    timer.elapsed("Feature registration")
+
+    # Flatten to valid-only arrays (host-side; sizes become static again).
+    t_ids = np.repeat(np.arange(num_t, dtype=np.int32)[:, None], feats.shape[1], 1)
+    sel = valid.reshape(-1)
+    flat_feats = feats.reshape(-1, feats.shape[-1])[sel]
+    flat_verts = verts.reshape(-1, 3)[sel]
+    flat_tids = t_ids.reshape(-1)[sel]
+    logger.info(f"Registered {len(flat_feats)} features over {num_t} templates.")
+
+    # PCA projection (reference: scripts/gen_repre.py:272-286).
+    projector = None
+    if opts.apply_pca:
+        timer.start()
+        cap = min(opts.max_num_feats_for_pca, len(flat_feats))
+        rng = np.random.default_rng(0)
+        sub = rng.choice(len(flat_feats), size=cap, replace=False)
+        projector = fit_pca(
+            jnp.asarray(flat_feats[sub]),
+            num_components=opts.pca_components,
+            whiten=opts.pca_whiten,
+        )
+        flat_feats = np.asarray(pca_transform(projector, jnp.asarray(flat_feats)))
+        timer.elapsed("PCA")
+
+    # Visual words (reference: scripts/gen_repre.py:289-311).
+    tfidf_cfg = TfidfConfig(
+        knn_k=opts.tfidf_knn_k,
+        metric=opts.tfidf_knn_metric,
+        soft_assign=opts.tfidf_soft_assign,
+        soft_sigma_squared=opts.tfidf_soft_sigma_squared,
+    )
+    if opts.cluster_features:
+        timer.start()
+        km = kmeans(
+            jnp.asarray(flat_feats),
+            num_clusters=min(opts.cluster_num, len(flat_feats)),
+            key=jax.random.PRNGKey(0),
+        )
+        words = np.asarray(km.centroids)
+        timer.elapsed("k-means")
+    else:
+        words = flat_feats[: opts.cluster_num]
+
+    # tf-idf template descriptors (reference: scripts/gen_repre.py:313-346).
+    timer.start()
+    descs, idfs = calc_template_tfidf_descriptors(
+        jnp.asarray(flat_feats),
+        jnp.asarray(flat_tids),
+        jnp.asarray(words),
+        num_templates=num_t,
+        config=tfidf_cfg,
+    )
+    timer.elapsed("tf-idf descriptors")
+
+    cameras = PinholeCamera(
+        f=jnp.asarray(cam_f),
+        c=jnp.asarray(cam_c),
+        T_world_from_eye=jnp.asarray(cam_t),
+        width=w,
+        height=h,
+    )
+    repre = make_repre(
+        feat_vectors=flat_feats.astype(np.float32),
+        vertices=flat_verts.astype(np.float32),
+        feat_to_template_ids=flat_tids,
+        word_centroids=np.asarray(words, dtype=np.float32),
+        word_idfs=np.asarray(idfs, dtype=np.float32),
+        template_descs=np.asarray(descs, dtype=np.float32),
+        template_cameras=cameras,
+        raw_projector=projector,
+        tfidf_config=tfidf_cfg,
+        extractor_name=opts.extractor_name,
+    )
+    if output_dir:
+        save_repre(repre, output_dir)
+        logger.info(f"Saved repre to {output_dir}")
+    return repre
+
+
+def generate_repre_from_list(opts: GenRepreOpts) -> None:
+    """CLI driver over objects. (reference: scripts/gen_repre.py:380-398)"""
+    import jax
+
+    vit_cfg = dinov2.parse_model_name(opts.extractor_name)
+    if opts.weights_path:
+        vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
+    else:
+        logger.warning("No DINOv2 weights_path given; using random init.")
+        vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+
+    object_lids = opts.object_lids or []
+    for lid in object_lids:
+        log_heading(logger, f"Building repre for object {lid}")
+        templates_dir = os.path.join(
+            opts.templates_dir, opts.object_dataset, opts.templates_version, str(lid)
+        )
+        with open(os.path.join(templates_dir, "metadata.json")) as f:
+            metadata = json.load(f)
+        output_dir = os.path.join(
+            opts.output_dir, opts.object_dataset, opts.version, str(lid)
+        )
+        if os.path.exists(output_dir) and not opts.overwrite:
+            raise ValueError(f"Output dir exists (overwrite=False): {output_dir}")
+        os.makedirs(output_dir, exist_ok=True)
+        config_util.save_opts(opts, os.path.join(output_dir, "config.json"))
+        generate_repre(opts, metadata, vit_params=vit_params, output_dir=output_dir)
+
+
+def main() -> None:
+    opts = config_util.load_opts(GenRepreOpts)
+    generate_repre_from_list(opts)
+
+
+if __name__ == "__main__":
+    main()

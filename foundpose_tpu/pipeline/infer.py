@@ -1,0 +1,360 @@
+"""Online inference CLI: BOP test images -> coarse 6DoF poses -> results JSON.
+
+Re-design of the reference inference script
+(reference: scripts/infer.py:55-827, call stack in SURVEY.md §3.1). The
+per-instance Python hot loop becomes host-side batch assembly + one jitted
+TPU program per batch:
+
+  host:   detections -> crop boxes -> crop cameras -> batched warps
+  device: ViT features -> PCA -> tf-idf retrieval -> cyclic buddies ->
+          RANSAC-PnP -> best pose            (pipeline/inference.py)
+  host:   EvaluatorPose accumulation -> estimated-poses.json
+
+Instances from many test images batch together, so the TPU sees a steady
+stream of fixed-shape work regardless of how many detections each image has.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from foundpose_tpu import cameras as cam_mod
+from foundpose_tpu.data import bop, detections as det_mod
+from foundpose_tpu.eval.evaluator import EvaluatorPose
+from foundpose_tpu.models import dinov2, weights as weights_mod
+from foundpose_tpu.pipeline import inference
+from foundpose_tpu.repre import load_repre
+from foundpose_tpu.structs import PinholeCamera
+from foundpose_tpu.utils import config as config_util
+from foundpose_tpu.utils.logging_util import Timer, get_logger, log_heading
+
+logger = get_logger()
+
+
+@dataclasses.dataclass(frozen=True)
+class InferOpts:
+    """(reference: scripts/infer.py:55-100 + configs/infer/lmo.json)"""
+
+    version: str = "v1"
+    repre_version: str = "v1"
+    object_dataset: str = "lmo"
+    object_lids: Optional[List[int]] = None
+    max_sym_disc_step: float = 0.01
+
+    crop: bool = True
+    crop_rel_pad: float = 0.2
+    crop_size: Tuple[int, int] = (420, 420)
+
+    use_detections: bool = True
+    num_preds_factor: float = 1.0
+    min_visibility: float = 0.1
+
+    extractor_name: str = (
+        "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+    )
+    grid_cell_size: float = 14.0
+    weights_path: Optional[str] = None
+
+    match_template_type: str = "tfidf"
+    match_top_n_templates: int = 5
+    match_feat_matching_type: str = "cyclic_buddies"
+    match_top_k_buddies: int = 300
+
+    pnp_type: str = "ransac_dlt"
+    pnp_ransac_iter: int = 400
+    pnp_required_ransac_conf: float = 0.99
+    pnp_inlier_thresh: float = 10.0
+    pnp_refine_lm: bool = True
+
+    final_pose_type: str = "best_coarse"
+
+    batch_size: int = 16
+    save_estimates: bool = True
+    debug: bool = False
+
+    bop_root: str = ""
+    repre_dir: str = ""
+    detections_path: str = ""
+    output_dir: str = ""
+
+
+@dataclasses.dataclass
+class PendingInstance:
+    """Host-side record for one detection crop awaiting the batched step."""
+
+    scene_id: int
+    im_id: int
+    inst_id: int
+    obj_id: int
+    det_score: float
+    det_time: float
+    orig_camera: PinholeCamera
+    crop_camera: PinholeCamera
+    crop_image: np.ndarray
+    crop_mask: np.ndarray
+    gt: Optional[bop.GtAnnotation]
+    times: Dict[str, float]
+
+
+def make_warp_fn(crop_size: Tuple[int, int]):
+    """Jitted batched image+mask warp into per-instance crop cameras.
+
+    (replaces the per-instance cv2.remap calls, reference: scripts/infer.py:438-449)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from foundpose_tpu.ops import warp as warp_mod
+
+    @jax.jit
+    def warp_batch(images, masks, src_cams: PinholeCamera, dst_cams: PinholeCamera):
+        def one(img, msk, sf, sc, st, df, dc, dt):
+            src = PinholeCamera(f=sf, c=sc, T_world_from_eye=st,
+                                width=src_cams.width, height=src_cams.height)
+            dst = PinholeCamera(f=df, c=dc, T_world_from_eye=dt,
+                                width=crop_size[0], height=crop_size[1])
+            out_img = warp_mod.warp_image(src, dst, img, interpolation="bilinear")
+            out_msk = warp_mod.warp_image(src, dst, msk, interpolation="nearest")
+            return out_img, out_msk
+
+        return jax.vmap(one)(
+            images, masks, src_cams.f, src_cams.c, src_cams.T_world_from_eye,
+            dst_cams.f, dst_cams.c, dst_cams.T_world_from_eye,
+        )
+
+    return warp_batch
+
+
+def prepare_instance_crops(
+    sample: bop.Sample,
+    instances: List[det_mod.Detection],
+    opts: InferOpts,
+    warp_batch,
+) -> List[PendingInstance]:
+    """Builds crop cameras + warped crops for all detections of one image."""
+    import jax
+    import jax.numpy as jnp
+
+    if not instances:
+        return []
+    h, w = sample.image.shape[:2]
+    orig_cam = PinholeCamera.from_intrinsic_matrix(sample.K, width=w, height=h)
+    image = sample.image.astype(np.float32) / 255.0
+
+    crop_cams = []
+    kept = []
+    t0 = time.perf_counter()
+    for det in instances:
+        box = jnp.asarray(det.box_xyxy)
+        crop_box = cam_mod.calc_crop_box(box, make_square=True)
+        crop_cam = cam_mod.construct_crop_camera(
+            box=crop_box, camera_c2w=orig_cam,
+            viewport_size=opts.crop_size, viewport_rel_pad=opts.crop_rel_pad,
+        )
+        crop_cams.append(crop_cam)
+        kept.append(det)
+    if not kept:
+        return []
+    dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
+    src_cams = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (len(kept),) + x.shape), orig_cam
+    )
+    images = jnp.asarray(np.stack([image] * len(kept)))
+    masks = jnp.asarray(
+        np.stack(
+            [
+                d.mask.astype(np.float32)
+                if d.mask is not None
+                else np.ones((h, w), np.float32)
+                for d in kept
+            ]
+        )
+    )
+    crop_images, crop_masks = warp_batch(images, masks, src_cams, dst_cams)
+    crop_images = np.asarray(crop_images)
+    crop_masks = np.asarray(crop_masks)
+    prep_time = (time.perf_counter() - t0) / len(kept)
+
+    out = []
+    for i, det in enumerate(kept):
+        gt = None
+        if sample.gt:
+            gt_boxes = [g.box_amodal for g in sample.gt if g.obj_id == det.obj_id]
+            idx = det_mod.associate_gt_by_iou(det.box_xyxy, gt_boxes)
+            matching = [g for g in sample.gt if g.obj_id == det.obj_id]
+            if idx >= 0:
+                gt = matching[idx]
+        out.append(
+            PendingInstance(
+                scene_id=sample.scene_id,
+                im_id=sample.im_id,
+                inst_id=i,
+                obj_id=det.obj_id,
+                det_score=det.score,
+                det_time=det.time,
+                orig_camera=orig_cam,
+                crop_camera=crop_cams[i],
+                crop_image=crop_images[i],
+                crop_mask=crop_masks[i],
+                gt=gt,
+                times={"prep": prep_time},
+            )
+        )
+    return out
+
+
+def run_batches(
+    pending: List[PendingInstance],
+    step,
+    vit_params,
+    repre,
+    batch_size: int,
+) -> List[Tuple[PendingInstance, Dict[str, Any]]]:
+    """Runs the jitted pipeline over fixed-size batches (last batch padded)."""
+    import jax
+    import jax.numpy as jnp
+
+    results = []
+    for s in range(0, len(pending), batch_size):
+        chunk = pending[s : s + batch_size]
+        pad = batch_size - len(chunk)
+        padded = chunk + [chunk[-1]] * pad
+        crops = jnp.asarray(np.stack([p.crop_image for p in padded]))
+        masks = jnp.asarray(np.stack([p.crop_mask for p in padded]))
+        cams = jax.tree.map(
+            lambda *x: jnp.stack(x), *[p.crop_camera for p in padded]
+        )
+        t0 = time.perf_counter()
+        out = step(vit_params, crops, masks, cams, repre, jax.random.PRNGKey(s))
+        out_np = jax.tree.map(np.asarray, out)  # forces execution
+        step_time = (time.perf_counter() - t0) / len(chunk)
+        for i, p in enumerate(chunk):
+            p.times["pipeline"] = step_time
+            results.append(
+                (
+                    p,
+                    {
+                        "success": bool(out_np.success[i]),
+                        "R_m2w": out_np.R_m2w[i],
+                        "t_m2w": out_np.t_m2w[i],
+                        "quality": float(out_np.quality[i]),
+                        "best_template": int(out_np.best_template[i]),
+                        "num_queries": float(out_np.num_queries[i]),
+                    },
+                )
+            )
+    return results
+
+
+def infer(opts: InferOpts) -> None:
+    import jax
+
+    vit_cfg = dinov2.parse_model_name(opts.extractor_name)
+    if opts.weights_path:
+        vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
+    else:
+        logger.warning("No DINOv2 weights_path given; using random init.")
+        vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+
+    config = inference.InferenceConfig(
+        crop_size=opts.crop_size,
+        grid_cell_size=opts.grid_cell_size,
+        top_n_templates=opts.match_top_n_templates,
+        top_k_buddies=opts.match_top_k_buddies,
+        pnp_ransac_iter=opts.pnp_ransac_iter,
+        pnp_inlier_thresh=opts.pnp_inlier_thresh,
+        pnp_refine_lm=opts.pnp_refine_lm,
+    )
+    step = inference.jit_pose_from_crops(vit_cfg, config)
+    warp_batch = make_warp_fn(opts.crop_size)
+
+    all_dets = (
+        det_mod.load_detections(opts.detections_path) if opts.use_detections else {}
+    )
+    models_info = bop.load_models_info(opts.bop_root, opts.object_dataset)
+    object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])
+
+    for lid in object_lids:
+        log_heading(logger, f"Inference for object {lid} of {opts.object_dataset}")
+        repre = load_repre(
+            os.path.join(opts.repre_dir, opts.object_dataset, opts.repre_version, str(lid))
+        )
+        evaluator = EvaluatorPose([lid])
+        model = bop.load_object_model(opts.bop_root, opts.object_dataset, lid)
+        info = models_info.get(lid, {})
+        syms = bop.get_symmetry_transformations(info, opts.max_sym_disc_step)
+        sym_r = np.stack([s["R"] for s in syms]).astype(np.float32)
+        sym_t = np.stack([np.asarray(s["t"]).flatten() for s in syms]).astype(np.float32)
+        # Subsampled model points for error metrics.
+        pts = model.vertices
+        if len(pts) > 1000:
+            pts = pts[np.linspace(0, len(pts) - 1, 1000).astype(int)]
+
+        # Gather (scene, image) pairs that have detections for this object.
+        keys = sorted(k for k in all_dets if k[2] == lid)
+        pending: List[PendingInstance] = []
+        for scene_id, im_id, _ in keys:
+            sample = bop.prepare_sample(
+                opts.bop_root, opts.object_dataset, scene_id, im_id,
+                load_gt=True, load_masks=False,
+            )
+            gt_count = sum(1 for g in sample.gt if g.obj_id == lid)
+            max_preds = max(1, int(opts.num_preds_factor * max(gt_count, 1)))
+            instances = det_mod.instances_for_pose_estimation(
+                all_dets[(scene_id, im_id, lid)],
+                max_num_preds=max_preds,
+                crop_offset=sample.crop_offset,
+                image_size=(sample.image.shape[1], sample.image.shape[0]),
+            )
+            for det in instances:
+                evaluator.detection_times[(scene_id, im_id)] = det.time
+            pending.extend(prepare_instance_crops(sample, instances, opts, warp_batch))
+
+        logger.info(f"{len(pending)} instances for object {lid}")
+        if not pending:
+            continue
+        results = run_batches(pending, step, vit_params, repre, opts.batch_size)
+
+        for p, r in results:
+            if not r["success"]:
+                continue
+            evaluator.update(
+                scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
+                hypothesis_id=0, obj_id=p.obj_id,
+                R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
+                orig_camera_c2w=p.orig_camera,
+                score=r["quality"] / max(r["num_queries"], 1.0),
+                time_per_inst=p.times,
+                R_gt_m2c=p.gt.R_m2c if p.gt else None,
+                t_gt_m2c=p.gt.t_m2c if p.gt else None,
+                model_pts=pts if p.gt else None,
+                sym_r=sym_r if p.gt else None,
+                sym_t=sym_t if p.gt else None,
+                K=np.asarray(p.orig_camera.K) if p.gt else None,
+            )
+
+        if opts.save_estimates:
+            out_dir = os.path.join(
+                opts.output_dir, opts.object_dataset, opts.version, str(lid)
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            config_util.save_opts(opts, os.path.join(out_dir, "config.json"))
+            evaluator.save_results_json(
+                os.path.join(out_dir, "estimated-poses.json")
+            )
+        logger.info(f"Summary for object {lid}: {evaluator.summary()}")
+
+
+def main() -> None:
+    opts = config_util.load_opts(InferOpts)
+    infer(opts)
+
+
+if __name__ == "__main__":
+    main()
