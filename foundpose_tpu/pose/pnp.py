@@ -40,12 +40,36 @@ class PnPResult(NamedTuple):
     quality: Array  # [] float inlier count (reference: pnp_util.py:77-79)
 
 
-def _dlt_pose(pts3d: Array, rays: Array) -> tuple[Array, Array]:
+def _smallest_eigvec_12(ata: Array, iters: int = 3) -> Array:
+    """Eigenvector of the smallest eigenvalue of a 12x12 PSD matrix.
+
+    Inverse iteration: factor (A + εI) once with Cholesky, then a fixed number
+    of triangular solves. Converges at ratio (λmin+ε)/(λ2+ε) per step, so 2-3
+    iterations suffice; this runs vmapped over
+    (crops x templates x 400 hypotheses) and avoids batched QR-based `eigh`.
+    """
+    eps = 1e-7 * jnp.trace(ata) + 1e-20
+    m = ata + eps * jnp.eye(12, dtype=ata.dtype)
+    chol = jax.scipy.linalg.cho_factor(m)
+    # Deterministic, unstructured init (avoids being orthogonal to the target).
+    v0 = jnp.cos(jnp.arange(12, dtype=ata.dtype) * 0.7 + 0.3)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def body(v, _):
+        w = jax.scipy.linalg.cho_solve(chol, v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
+
+    v, _ = jax.lax.scan(body, v0, None, length=iters)
+    return v
+
+
+def _dlt_pose(pts3d: Array, rays: Array, solver: str = "power") -> tuple[Array, Array]:
     """[R|t] from >=6 correspondences via DLT in normalized coordinates.
 
     Args:
         pts3d: [M, 3] model points.
         rays: [M, 2] normalized image coordinates (K^-1 applied).
+        solver: "power" (fast shifted power iteration) or "eigh" (exact).
     Returns:
         (R [3,3], t [3]).
     """
@@ -59,8 +83,12 @@ def _dlt_pose(pts3d: Array, rays: Array) -> tuple[Array, Array]:
     row_v = jnp.concatenate([zeros, xh, -v * xh], axis=1)  # [M, 12]
     a = jnp.concatenate([row_u, row_v], axis=0)  # [2M, 12]
     ata = jnp.einsum("mi,mj->ij", a, a, precision=_P)
-    _, vecs = jnp.linalg.eigh(ata)
-    p = vecs[:, 0].reshape(3, 4)
+    if solver == "power":
+        vec = _smallest_eigvec_12(ata)
+    else:
+        _, vecs = jnp.linalg.eigh(ata)
+        vec = vecs[:, 0]
+    p = vec.reshape(3, 4)
 
     r_raw = p[:, :3]
     det = jnp.linalg.det(r_raw)
