@@ -48,6 +48,9 @@ class InferenceConfig:
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
     lm_iters: int = 10
+    # Featuremetric refinement (paper stage; not in the reference OSS release).
+    refine_featuremetric: bool = False
+    featuremetric_iters: int = 8
     compute_dtype: Any = jnp.float32
 
 
@@ -157,10 +160,35 @@ def pose_from_features(
         # Best-by-inlier-count selection (reference: scripts/infer.py:593-602).
         quality = jnp.where(results.success, results.quality, -1.0)
         best = jnp.argmax(quality)
+        r_best = results.R[best]
+        t_best = results.t[best]
+
+        # Optional featuremetric refinement against the dense (projected)
+        # feature map, using the winning template's registered features.
+        if config.refine_featuremetric:
+            from foundpose_tpu.pose.featuremetric import refine_pose_featuremetric
+
+            fmap_proj = fmap
+            if repre.raw_projector is not None:
+                fmap_proj = pca_transform(repre.raw_projector, fmap)
+            best_tid = template_ids[best]
+            r_best, t_best, _ = refine_pose_featuremetric(
+                r_best,
+                t_best,
+                fmap_proj.astype(cdt),
+                cam_f,
+                cam_c,
+                repre.bank_vertices[best_tid],
+                repre.bank_feats[best_tid].astype(cdt),
+                repre.bank_mask[best_tid],
+                crop_size=config.crop_size,
+                iters=config.featuremetric_iters,
+            )
+
         return (
             results.success[best],
-            results.R[best],
-            results.t[best],
+            r_best,
+            t_best,
             quality[best],
             template_ids,
             template_scores,
