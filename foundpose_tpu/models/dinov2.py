@@ -59,6 +59,8 @@ class DinoV2Config:
     facet: str = "token"
     layer: int = 9
     apply_norm: bool = True
+    # Attention backend: Pallas fused kernel on TPU, XLA SDPA elsewhere.
+    use_pallas_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -198,8 +200,13 @@ def _attention(x: Array, p: Dict[str, Array], cfg: DinoV2Config) -> Array:
     qkv = x @ p["qkv_kernel"] + p["qkv_bias"]  # [B, T, 3D]
     qkv = qkv.reshape(b, t, 3, nh, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, nh, hd]
-    # jax's fused SDPA (maps to an efficient attention on TPU).
-    out = jax.nn.dot_product_attention(q, k, v)
+    if cfg.use_pallas_attention:
+        from foundpose_tpu.ops.attention import fused_attention
+
+        out = fused_attention(q, k, v)
+    else:
+        # jax's fused SDPA (maps to an efficient attention on TPU).
+        out = jax.nn.dot_product_attention(q, k, v)
     out = out.reshape(b, t, d)
     return out @ p["proj_kernel"] + p["proj_bias"]
 
