@@ -23,11 +23,14 @@ _INF = jnp.inf
 
 
 def pairwise_sqdist(
-    queries: Array, bank: Array, precision=jax.lax.Precision.HIGHEST
+    queries: Array, bank: Array, precision=jax.lax.Precision.DEFAULT
 ) -> Array:
     """Squared L2 distances [..., Q, N] between queries [..., Q, D] and bank [..., N, D].
 
-    The cross term runs on the MXU; norms are fused by XLA.
+    The cross term runs on the MXU; norms are fused by XLA. Default precision
+    (bf16 multiplies) is used on purpose: distances only feed argmin/top-k
+    rankings, where sub-1% relative error cannot change non-tied outcomes —
+    this halves-to-sixths the MXU cost vs f32-emulated matmuls.
     """
     qn = jnp.sum(queries * queries, axis=-1, keepdims=True)  # [..., Q, 1]
     bn = jnp.sum(bank * bank, axis=-1)[..., None, :]  # [..., 1, N]
@@ -104,7 +107,7 @@ def knn_search_tiled(
         bank_tile, mask_tile, tile_idx = inputs
         bn = jnp.sum(bank_tile * bank_tile, axis=-1)[None, :]
         cross = jnp.einsum(
-            "qd,nd->qn", queries, bank_tile, precision=jax.lax.Precision.HIGHEST
+            "qd,nd->qn", queries, bank_tile, precision=jax.lax.Precision.DEFAULT
         )
         dist = jnp.maximum(qn + bn - 2.0 * cross, 0.0)
         dist = jnp.where(mask_tile[None, :], dist, _INF)

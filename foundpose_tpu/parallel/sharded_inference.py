@@ -28,6 +28,7 @@ from foundpose_tpu.models import dinov2
 from foundpose_tpu.ops.pca import pca_transform
 from foundpose_tpu.ops.tfidf import assign_words, calc_tfidf
 from foundpose_tpu.parallel.mesh import BANK_AXIS, DATA_AXIS
+from foundpose_tpu.pipeline import inference as inference_mod
 from foundpose_tpu.pipeline.inference import (
     InferenceConfig,
     PoseOutputs,
@@ -164,21 +165,31 @@ def make_sharded_step(
                 q_ids, o_ids, _, _, bvalid = corresp_mod.cyclic_buddies(
                     points, feats, valid, bfeats, bmask, config.top_k_buddies
                 )
-                return pnp_mod.ransac_pnp(
+                res = pnp_mod.ransac_pnp(
                     points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
                     num_hypotheses=config.pnp_ransac_iter,
                     inlier_thresh=config.pnp_inlier_thresh,
                     refine_lm=config.pnp_refine_lm,
                     lm_iters=config.lm_iters,
                 )
+                return res, points[q_ids], q_ids, bverts[o_ids], bvalid
 
             ks = jax.random.split(k, config.top_n_templates)
-            results = jax.vmap(per_template)(sel_feats, sel_verts, sel_mask, ks)
+            results, c2d, c2d_ids, c3d, cvalid = jax.vmap(per_template)(
+                sel_feats, sel_verts, sel_mask, ks
+            )
             quality = jnp.where(results.success, results.quality, -1.0)
             best = jnp.argmax(quality)
+            num_grid = points.shape[0]
+            score = inference_mod.estimate_score(
+                results.R[best], results.t[best], c2d[best], c2d_ids[best],
+                c3d[best], cvalid[best], kf, kc,
+                num_query_points=num_grid,
+                inlier_radius=config.pnp_inlier_thresh,
+            )
             return (
                 results.success[best], results.R[best], results.t[best],
-                quality[best], template_ids, template_scores,
+                quality[best], score, template_ids, template_scores,
                 template_ids[best], results.quality, jnp.sum(validf),
             )
 
@@ -212,7 +223,7 @@ def make_sharded_step(
             repre.bank_feats, repre.bank_vertices, repre.bank_mask,
             repre.raw_projector,
         )
-        (success, r_m2c, t_m2c, quality, template_ids, template_scores,
+        (success, r_m2c, t_m2c, quality, score, template_ids, template_scores,
          best_template, per_tpl_quality, num_queries) = shard_fn(
             vit_params, crops, masks, cameras.f, cameras.c, repre_arrays, key
         )
@@ -223,7 +234,7 @@ def make_sharded_step(
         return PoseOutputs(
             success=success, R_m2c=r_m2c, t_m2c=t_m2c,
             R_m2w=m2w[..., :3, :3], t_m2w=m2w[..., :3, 3],
-            quality=quality, template_ids=template_ids,
+            quality=quality, score=score, template_ids=template_ids,
             template_scores=template_scores, best_template=best_template,
             per_template_quality=per_tpl_quality, num_queries=num_queries,
         )

@@ -244,6 +244,7 @@ def run_batches(
                         "R_m2w": out_np.R_m2w[i],
                         "t_m2w": out_np.t_m2w[i],
                         "quality": float(out_np.quality[i]),
+                        "score": float(out_np.score[i]),
                         "best_template": int(out_np.best_template[i]),
                         "num_queries": float(out_np.num_queries[i]),
                     },
@@ -329,7 +330,7 @@ def infer(opts: InferOpts) -> None:
                 hypothesis_id=0, obj_id=p.obj_id,
                 R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
                 orig_camera_c2w=p.orig_camera,
-                score=r["quality"] / max(r["num_queries"], 1.0),
+                score=r["score"],
                 time_per_inst=p.times,
                 R_gt_m2c=p.gt.R_m2c if p.gt else None,
                 t_gt_m2c=p.gt.t_m2c if p.gt else None,

@@ -34,6 +34,8 @@ from foundpose_tpu.structs import PinholeCamera
 
 Array = jax.Array
 
+_P = jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass(frozen=True)
 class InferenceConfig:
@@ -63,11 +65,42 @@ class PoseOutputs(NamedTuple):
     R_m2w: Array  # [B, 3, 3] model -> world
     t_m2w: Array  # [B, 3]
     quality: Array  # [B] inlier count of the winning hypothesis
+    score: Array  # [B] many-to-many-aware reprojection inlier ratio
     template_ids: Array  # [B, top_n] retrieved templates
     template_scores: Array  # [B, top_n]
     best_template: Array  # [B] winning template id
     per_template_quality: Array  # [B, top_n]
     num_queries: Array  # [B] valid query-point count
+
+
+def estimate_score(
+    r: Array,
+    t: Array,
+    coord_2d: Array,
+    coord_2d_ids: Array,
+    coord_3d: Array,
+    valid: Array,
+    cam_f: Array,
+    cam_c: Array,
+    num_query_points: int,
+    inlier_radius: float = 10.0,
+) -> Array:
+    """Many-to-many-aware inlier ratio: the fraction of unique query points
+    with at least one correspondence whose reprojection error is within
+    `inlier_radius`. This is the reference's submission score
+    (reference: utils/eval_util.py:262-278). Fixed-shape via segment-max over
+    the query-point ids.
+    """
+    cam = jnp.einsum("ij,nj->ni", r, coord_3d, precision=_P) + t
+    z = jnp.where(jnp.abs(cam[:, 2:3]) < 1e-9, 1e-9, cam[:, 2:3])
+    proj = cam[:, :2] / z * cam_f + cam_c
+    err = jnp.linalg.norm(proj - coord_2d, axis=-1)
+    inlier = ((err <= inlier_radius) & valid).astype(jnp.float32)
+    present = valid.astype(jnp.float32)
+    ids = coord_2d_ids.astype(jnp.int32)
+    has_inlier = jax.ops.segment_max(inlier, ids, num_segments=num_query_points)
+    is_present = jax.ops.segment_max(present, ids, num_segments=num_query_points)
+    return jnp.sum(has_inlier * is_present) / jnp.maximum(jnp.sum(is_present), 1.0)
 
 
 def query_features_from_map(
@@ -185,11 +218,30 @@ def pose_from_features(
                 iters=config.featuremetric_iters,
             )
 
+        # Submission score: many-to-many inlier ratio of the final pose
+        # (reference: utils/eval_util.py:262-278).
+        num_grid = int(config.crop_size[0] / config.grid_cell_size) * int(
+            config.crop_size[1] / config.grid_cell_size
+        )
+        score = estimate_score(
+            r_best,
+            t_best,
+            cors.coord_2d[best],
+            cors.coord_2d_ids[best],
+            cors.coord_3d[best],
+            cors.valid[best],
+            cam_f,
+            cam_c,
+            num_query_points=num_grid,
+            inlier_radius=config.pnp_inlier_thresh,
+        )
+
         return (
             results.success[best],
             r_best,
             t_best,
             quality[best],
+            score,
             template_ids,
             template_scores,
             template_ids[best],
@@ -203,6 +255,7 @@ def pose_from_features(
         r_m2c,
         t_m2c,
         quality,
+        score,
         template_ids,
         template_scores,
         best_template,
@@ -223,6 +276,7 @@ def pose_from_features(
         R_m2w=m2w[..., :3, :3],
         t_m2w=m2w[..., :3, 3],
         quality=quality,
+        score=score,
         template_ids=template_ids,
         template_scores=template_scores,
         best_template=best_template,
