@@ -98,8 +98,13 @@ def estimate_score(
     inlier = ((err <= inlier_radius) & valid).astype(jnp.float32)
     present = valid.astype(jnp.float32)
     ids = coord_2d_ids.astype(jnp.int32)
-    has_inlier = jax.ops.segment_max(inlier, ids, num_segments=num_query_points)
-    is_present = jax.ops.segment_max(present, ids, num_segments=num_query_points)
+    # segment_max yields -inf for empty segments; clamp to [0, 1].
+    has_inlier = jnp.maximum(
+        jax.ops.segment_max(inlier, ids, num_segments=num_query_points), 0.0
+    )
+    is_present = jnp.maximum(
+        jax.ops.segment_max(present, ids, num_segments=num_query_points), 0.0
+    )
     return jnp.sum(has_inlier * is_present) / jnp.maximum(jnp.sum(is_present), 1.0)
 
 

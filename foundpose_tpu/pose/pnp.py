@@ -48,7 +48,10 @@ def _smallest_eigvec_12(ata: Array, iters: int = 3) -> Array:
     iterations suffice; this runs vmapped over
     (crops x templates x 400 hypotheses) and avoids batched QR-based `eigh`.
     """
-    eps = 1e-7 * jnp.trace(ata) + 1e-20
+    # Scale-normalize so the regularization is meaningful regardless of the
+    # data's units, then add a tiny ridge for the (near-)singular exact case.
+    ata = ata / jnp.maximum(jnp.trace(ata), 1e-30)
+    eps = 1e-9
     m = ata + eps * jnp.eye(12, dtype=ata.dtype)
     chol = jax.scipy.linalg.cho_factor(m)
     # Deterministic, unstructured init (avoids being orthogonal to the target).
@@ -74,9 +77,16 @@ def _dlt_pose(pts3d: Array, rays: Array, solver: str = "power") -> tuple[Array, 
         (R [3,3], t [3]).
     """
     m = pts3d.shape[0]
+    # Hartley-style normalization of the 3D points (center + isotropic scale):
+    # keeps the 12x12 normal matrix well-conditioned for mm-scale models.
+    mu = jnp.mean(pts3d, axis=0)
+    spread = jnp.mean(jnp.linalg.norm(pts3d - mu, axis=1))
+    s = jnp.sqrt(3.0) / jnp.maximum(spread, 1e-12)
+    xn = (pts3d - mu) * s
+
     ones = jnp.ones((m, 1), dtype=pts3d.dtype)
     zeros = jnp.zeros((m, 4), dtype=pts3d.dtype)
-    xh = jnp.concatenate([pts3d, ones], axis=1)  # [M, 4]
+    xh = jnp.concatenate([xn, ones], axis=1)  # [M, 4]
     u = rays[:, 0:1]
     v = rays[:, 1:2]
     row_u = jnp.concatenate([xh, zeros, -u * xh], axis=1)  # [M, 12]
@@ -95,7 +105,9 @@ def _dlt_pose(pts3d: Array, rays: Array, solver: str = "power") -> tuple[Array, 
     sign = jnp.where(det < 0, -1.0, 1.0)
     scale = sign / jnp.cbrt(jnp.abs(det) + 1e-30)
     r = geometry.orthogonalize_rotation(r_raw * scale)
-    t = p[:, 3] * scale
+    t_n = p[:, 3] * scale
+    # Undo the normalization: x ~ R((X-mu)s) + t_n  =>  t = t_n/s - R mu.
+    t = t_n / s - r @ mu
     return r, t
 
 
