@@ -76,6 +76,10 @@ class InferOpts:
 
     batch_size: int = 16
     save_estimates: bool = True
+    # Skip objects whose estimated-poses.json already exists (coarse-grained
+    # resume; the reference only resumes at whole-stage granularity,
+    # SURVEY.md §5.4).
+    resume: bool = False
     debug: bool = False
 
     bop_root: str = ""
@@ -283,6 +287,13 @@ def infer(opts: InferOpts) -> None:
 
     for lid in object_lids:
         log_heading(logger, f"Inference for object {lid} of {opts.object_dataset}")
+        out_json = os.path.join(
+            opts.output_dir, opts.object_dataset, opts.version, str(lid),
+            "estimated-poses.json",
+        )
+        if opts.resume and os.path.exists(out_json):
+            logger.info(f"Resume: results exist for object {lid}, skipping.")
+            continue
         repre = load_repre(
             os.path.join(opts.repre_dir, opts.object_dataset, opts.repre_version, str(lid))
         )

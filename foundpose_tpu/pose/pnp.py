@@ -165,6 +165,12 @@ def ransac_pnp(
         return _dlt_pose(pts3d[ids], rays[ids])
 
     rs, ts = jax.vmap(solve_one)(sample_ids)  # [H,3,3], [H,3]
+    # Degenerate minimal sets (collinear / duplicated points) can yield
+    # non-finite solves; sanitize so they score zero instead of poisoning
+    # argmax/LM (cv2 raises and the reference catches, pnp_util.py:56-63).
+    finite = jnp.isfinite(rs).all(axis=(1, 2)) & jnp.isfinite(ts).all(axis=1)
+    rs = jnp.where(finite[:, None, None], rs, jnp.eye(3, dtype=dtype))
+    ts = jnp.where(finite[:, None], ts, jnp.asarray([0.0, 0.0, 1.0], dtype=dtype))
 
     # --- score all hypotheses by masked inlier count ------------------------
     def score_one(r, t):
@@ -182,9 +188,14 @@ def ransac_pnp(
 
     # --- masked LM refinement on the best hypothesis's inliers -------------
     if refine_lm:
-        r_best, t_best = refine_pose_lm(
+        r_ref, t_ref = refine_pose_lm(
             r_best, t_best, pts2d, pts3d, inliers, k_f, k_c, iters=lm_iters
         )
+        # Keep the refinement only if it stayed finite (degenerate inlier sets
+        # can blow up the normal equations).
+        ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
+        r_best = jnp.where(ok, r_ref, r_best)
+        t_best = jnp.where(ok, t_ref, t_best)
         # Recompute the inlier set with the refined pose (cv2 keeps the RANSAC
         # inlier set; we keep it too for quality, refinement only sharpens R|t).
 

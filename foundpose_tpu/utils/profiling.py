@@ -1,0 +1,70 @@
+"""Device profiling: jax profiler traces + per-stage device timing.
+
+TPU-native replacement for the reference's wall-clock-only Timers
+(reference: utils/misc.py:30-45, SURVEY.md §5.1). `trace()` captures an XLA
+profile viewable in TensorBoard/Perfetto; `device_time()` measures real device
+execution of a jitted callable, accounting for backends that defer execution
+until a host fetch (e.g. tunneled TPU clients).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Context manager capturing a jax profiler trace into `log_dir`."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def force_execution(tree) -> float:
+    """Forces device execution of a pytree's arrays; returns a checksum.
+
+    On deferred-execution backends `block_until_ready` may be a no-op on the
+    client future; fetching a scalar reduction guarantees the computation ran.
+    """
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    if not leaves:
+        return 0.0
+    acc = jnp.asarray(0.0, dtype=jnp.float32)
+    for leaf in leaves:
+        flat = leaf.reshape(-1)[:4].astype(jnp.float32)
+        acc = acc + jnp.sum(jnp.where(jnp.isfinite(flat), flat, 0.0))
+    return float(acc)
+
+
+def device_time(
+    fn: Callable, *args, iters: int = 5, warmup: int = 1, chain: bool = True
+) -> float:
+    """Seconds per call of a jitted `fn(*args)`, measured honestly.
+
+    Steps are chained through a data dependency (a zero-scaled scalar mixed
+    into the first array argument) so all `iters` executions provably run
+    before the single terminal fetch.
+    """
+    for _ in range(warmup):
+        out = fn(*args)
+    force_execution(out)
+
+    start = time.perf_counter()
+    carry = jnp.asarray(0.0, dtype=jnp.float32)
+    for _ in range(iters):
+        if chain and args and hasattr(args[0], "dtype"):
+            first = args[0] + (carry * 0).astype(args[0].dtype)
+            out = fn(first, *args[1:])
+        else:
+            out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        carry = jnp.sum(leaf.reshape(-1)[:1].astype(jnp.float32))
+    force_execution(carry)
+    return (time.perf_counter() - start) / iters
