@@ -162,7 +162,7 @@ def make_sharded_step(
             )
 
             def per_template(bfeats, bverts, bmask, kk):
-                q_ids, o_ids, _, _, bvalid = corresp_mod.cyclic_buddies(
+                q_ids, o_ids, _, conf, bvalid = corresp_mod.cyclic_buddies(
                     points, feats, valid, bfeats, bmask, config.top_k_buddies
                 )
                 res = pnp_mod.ransac_pnp(
@@ -172,10 +172,10 @@ def make_sharded_step(
                     refine_lm=config.pnp_refine_lm,
                     lm_iters=config.lm_iters,
                 )
-                return res, points[q_ids], q_ids, bverts[o_ids], bvalid
+                return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
 
             ks = jax.random.split(k, config.top_n_templates)
-            results, c2d, c2d_ids, c3d, cvalid = jax.vmap(per_template)(
+            results, c2d, c2d_ids, c3d, cconf, cvalid = jax.vmap(per_template)(
                 sel_feats, sel_verts, sel_mask, ks
             )
             quality = jnp.where(results.success, results.quality, -1.0)
@@ -191,6 +191,7 @@ def make_sharded_step(
                 results.success[best], results.R[best], results.t[best],
                 quality[best], score, template_ids, template_scores,
                 template_ids[best], results.quality, jnp.sum(validf),
+                c2d[best], c3d[best], cconf[best], cvalid[best],
             )
 
         return jax.vmap(one)(fmaps, masks, cam_f, cam_c, keys)
@@ -224,7 +225,8 @@ def make_sharded_step(
             repre.raw_projector,
         )
         (success, r_m2c, t_m2c, quality, score, template_ids, template_scores,
-         best_template, per_tpl_quality, num_queries) = shard_fn(
+         best_template, per_tpl_quality, num_queries,
+         best_c2d, best_c3d, best_conf, best_cvalid) = shard_fn(
             vit_params, crops, masks, cameras.f, cameras.c, repre_arrays, key
         )
         m2c = geometry.as_4x4_rt(r_m2c, t_m2c)
@@ -237,6 +239,8 @@ def make_sharded_step(
             quality=quality, score=score, template_ids=template_ids,
             template_scores=template_scores, best_template=best_template,
             per_template_quality=per_tpl_quality, num_queries=num_queries,
+            best_corresp_2d=best_c2d, best_corresp_3d=best_c3d,
+            best_corresp_conf=best_conf, best_corresp_valid=best_cvalid,
         )
 
     return step

@@ -76,6 +76,9 @@ class InferOpts:
 
     batch_size: int = 16
     save_estimates: bool = True
+    vis_results: bool = False
+    vis_count: int = 10
+    vis_corresp_top_n: int = 100
     # Skip objects whose estimated-poses.json already exists (coarse-grained
     # resume; the reference only resumes at whole-stage granularity,
     # SURVEY.md §5.4).
@@ -247,14 +250,77 @@ def run_batches(
                         "success": bool(out_np.success[i]),
                         "R_m2w": out_np.R_m2w[i],
                         "t_m2w": out_np.t_m2w[i],
+                        "R_m2c": out_np.R_m2c[i],
+                        "t_m2c": out_np.t_m2c[i],
                         "quality": float(out_np.quality[i]),
                         "score": float(out_np.score[i]),
                         "best_template": int(out_np.best_template[i]),
                         "num_queries": float(out_np.num_queries[i]),
+                        "corresp_2d": out_np.best_corresp_2d[i],
+                        "corresp_3d": out_np.best_corresp_3d[i],
+                        "corresp_conf": out_np.best_corresp_conf[i],
+                        "corresp_valid": out_np.best_corresp_valid[i],
                     },
                 )
             )
     return results
+
+
+def save_visualization(
+    p: "PendingInstance",
+    r: Dict[str, Any],
+    repre,
+    renderer,
+    obj_id: int,
+    out_path: str,
+    max_corresp: int = 100,
+) -> None:
+    """Saves the per-estimate tile grid (reference: scripts/infer.py:746-802)."""
+    import jax
+    import jax.numpy as jnp
+
+    from foundpose_tpu.vis import base as vb
+    from foundpose_tpu.vis import inference_vis
+
+    est_mask = None
+    if renderer is not None:
+        est_mask = inference_vis.render_pose_mask(
+            renderer, obj_id, p.crop_camera, r["R_m2c"], r["t_m2c"]
+        )
+
+    # Template-side 2D points: project the matched 3D points into the winning
+    # template's camera.
+    tpl_img = None
+    tpl_2d = None
+    valid = r["corresp_valid"].astype(bool)
+    tid = r["best_template"]
+    if repre.templates is not None:
+        tpl_img = np.transpose(np.asarray(repre.templates[tid]), (1, 2, 0))
+    cam_t = jax.tree_util.tree_map(lambda x: x[tid], repre.template_cameras)
+    tpl_2d = np.asarray(
+        cam_t.world_to_window(jnp.asarray(r["corresp_3d"]))
+    )
+    if tpl_img is None:
+        tpl_img = np.zeros(
+            (p.crop_image.shape[0], p.crop_image.shape[1], 3), dtype=np.uint8
+        )
+
+    grid = inference_vis.vis_inference_results(
+        p.crop_image,
+        p.crop_mask,
+        tpl_img,
+        r["corresp_2d"][valid][:max_corresp],
+        tpl_2d[valid][:max_corresp],
+        r["corresp_conf"][valid][:max_corresp],
+        est_mask=est_mask,
+        caption=f"s{p.scene_id} im{p.im_id} q={r['quality']:.0f} "
+        f"score={r['score']:.2f}",
+        max_corresp=max_corresp,
+    )
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    Image.fromarray(grid).save(out_path)
 
 
 def infer(opts: InferOpts) -> None:
@@ -332,6 +398,24 @@ def infer(opts: InferOpts) -> None:
         if not pending:
             continue
         results = run_batches(pending, step, vit_params, repre, opts.batch_size)
+
+        renderer = None
+        if opts.vis_results:
+            from foundpose_tpu.renderer.base import RendererType, build as build_renderer
+
+            renderer = build_renderer(RendererType.SOFTWARE_RASTERIZER)
+            renderer.add_object_model(lid, model)
+            vis_dir = os.path.join(
+                opts.output_dir, opts.object_dataset, opts.version, str(lid), "vis"
+            )
+            for vi, (p, r) in enumerate(results[: opts.vis_count]):
+                if not r["success"]:
+                    continue
+                save_visualization(
+                    p, r, repre, renderer, lid,
+                    os.path.join(vis_dir, f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}.png"),
+                    max_corresp=opts.vis_corresp_top_n,
+                )
 
         for p, r in results:
             if not r["success"]:

@@ -71,6 +71,11 @@ class PoseOutputs(NamedTuple):
     best_template: Array  # [B] winning template id
     per_template_quality: Array  # [B, top_n]
     num_queries: Array  # [B] valid query-point count
+    # Winning template's correspondences (for visualization / diagnostics).
+    best_corresp_2d: Array  # [B, K, 2]
+    best_corresp_3d: Array  # [B, K, 3]
+    best_corresp_conf: Array  # [B, K]
+    best_corresp_valid: Array  # [B, K]
 
 
 def estimate_score(
@@ -252,6 +257,10 @@ def pose_from_features(
             template_ids[best],
             results.quality,
             jnp.sum(validf),
+            cors.coord_2d[best],
+            cors.coord_3d[best],
+            cors.coord_conf[best],
+            cors.valid[best],
         )
 
     keys = jax.random.split(key, b)
@@ -266,6 +275,10 @@ def pose_from_features(
         best_template,
         per_tpl_quality,
         num_queries,
+        best_c2d,
+        best_c3d,
+        best_conf,
+        best_cvalid,
     ) = jax.vmap(per_crop)(feature_maps, masks, cameras.f, cameras.c, keys)
 
     # Express poses in the world frame through the crop camera extrinsics
@@ -287,6 +300,10 @@ def pose_from_features(
         best_template=best_template,
         per_template_quality=per_tpl_quality,
         num_queries=num_queries,
+        best_corresp_2d=best_c2d,
+        best_corresp_3d=best_c3d,
+        best_corresp_conf=best_conf,
+        best_corresp_valid=best_cvalid,
     )
 
 

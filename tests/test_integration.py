@@ -214,6 +214,8 @@ def test_full_framework_end_to_end(tmp_path):
         match_top_k_buddies=50,
         pnp_ransac_iter=200,
         batch_size=2,
+        vis_results=True,
+        vis_count=2,
         bop_root=bop_root,
         repre_dir=str(tmp_path / "repre"),
         detections_path=det_path,
@@ -236,6 +238,8 @@ def test_full_framework_end_to_end(tmp_path):
     assert results_path.exists()
     results = json.loads(results_path.read_text())
     assert len(results) == 1
+    vis_dir = tmp_path / "inference" / "demo" / "v1" / str(OBJ_ID) / "vis"
+    assert any(vis_dir.glob("*.png"))
     r_est = np.asarray(results[0]["R"], dtype=float)
     t_est = np.asarray(results[0]["t"], dtype=float).flatten()
     # MSSD against GT was recorded (GT association worked).
