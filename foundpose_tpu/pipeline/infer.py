@@ -374,24 +374,48 @@ def infer(opts: InferOpts) -> None:
         if len(pts) > 1000:
             pts = pts[np.linspace(0, len(pts) - 1, 1000).astype(int)]
 
-        # Gather (scene, image) pairs that have detections for this object.
-        keys = sorted(k for k in all_dets if k[2] == lid)
+        # Gather (scene, image) pairs: from detections, or from GT annotations
+        # when use_detections=False (reference: infer_pose_util.py:140-149).
         pending: List[PendingInstance] = []
-        for scene_id, im_id, _ in keys:
+        if opts.use_detections:
+            keys = sorted(k for k in all_dets if k[2] == lid)
+            image_keys = [(s, i) for s, i, _ in keys]
+        else:
+            image_keys = []
+            for scene_id in bop.list_scenes(opts.bop_root, opts.object_dataset):
+                for im_id in bop.list_images(opts.bop_root, opts.object_dataset, scene_id):
+                    image_keys.append((scene_id, im_id))
+        for scene_id, im_id in image_keys:
             sample = bop.prepare_sample(
                 opts.bop_root, opts.object_dataset, scene_id, im_id,
-                load_gt=True, load_masks=False,
+                load_gt=True, load_masks=not opts.use_detections,
             )
-            gt_count = sum(1 for g in sample.gt if g.obj_id == lid)
-            max_preds = max(1, int(opts.num_preds_factor * max(gt_count, 1)))
-            instances = det_mod.instances_for_pose_estimation(
-                all_dets[(scene_id, im_id, lid)],
-                max_num_preds=max_preds,
-                crop_offset=sample.crop_offset,
-                image_size=(sample.image.shape[1], sample.image.shape[0]),
-            )
-            for det in instances:
-                evaluator.detection_times[(scene_id, im_id)] = det.time
+            if opts.use_detections:
+                gt_count = sum(1 for g in sample.gt if g.obj_id == lid)
+                max_preds = max(1, int(opts.num_preds_factor * max(gt_count, 1)))
+                instances = det_mod.instances_for_pose_estimation(
+                    all_dets[(scene_id, im_id, lid)],
+                    max_num_preds=max_preds,
+                    crop_offset=sample.crop_offset,
+                    image_size=(sample.image.shape[1], sample.image.shape[0]),
+                )
+                for det in instances:
+                    evaluator.detection_times[(scene_id, im_id)] = det.time
+            else:
+                instances = []
+                for g in sample.gt:
+                    if g.obj_id != lid or g.visib_fract < opts.min_visibility:
+                        continue
+                    if g.box_amodal is None:
+                        continue
+                    instances.append(
+                        det_mod.Detection(
+                            scene_id=scene_id, im_id=im_id, obj_id=lid,
+                            score=1.0, box_xyxy=np.asarray(g.box_amodal),
+                            mask=g.mask_visib, time=0.0,
+                        )
+                    )
+                evaluator.detection_times[(scene_id, im_id)] = 0.0
             pending.extend(prepare_instance_crops(sample, instances, opts, warp_batch))
 
         logger.info(f"{len(pending)} instances for object {lid}")
