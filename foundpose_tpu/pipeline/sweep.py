@@ -1,0 +1,79 @@
+"""Multi-dataset BOP sweep: runs the full inference over several datasets.
+
+Scale-out driver with no reference counterpart (the reference is launched per
+dataset by hand; SURVEY.md §2.4). One process sweeps datasets sequentially,
+reusing the jitted pipeline across objects; each (dataset, object) writes its
+own `estimated-poses.json` and the sweep finishes with one BOP19 CSV per
+dataset. Resumable at (dataset, object) granularity via InferOpts.resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+from foundpose_tpu.pipeline import infer as infer_mod
+from foundpose_tpu.pipeline import prepare_bop_submission as sub_mod
+from foundpose_tpu.utils import config as config_util
+from foundpose_tpu.utils.logging_util import get_logger, log_heading
+
+logger = get_logger()
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepOpts:
+    datasets: List[str] = dataclasses.field(
+        default_factory=lambda: ["lmo", "tudl", "ycbv", "tless"]
+    )
+    version: str = "v1"
+    repre_version: str = "v1"
+    extractor_name: str = (
+        "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+    )
+    weights_path: Optional[str] = None
+    batch_size: int = 16
+    resume: bool = True
+
+    bop_root: str = ""
+    repre_dir: str = ""
+    detections_dir: str = ""  # expects <dir>/<dataset>.json
+    output_dir: str = ""
+
+
+def sweep(opts: SweepOpts) -> Dict[str, str]:
+    """Runs all datasets; returns {dataset: submission_csv_path}."""
+    out = {}
+    for ds in opts.datasets:
+        log_heading(logger, f"Sweep: dataset {ds}")
+        infer_opts = infer_mod.InferOpts(
+            version=opts.version,
+            repre_version=opts.repre_version,
+            object_dataset=ds,
+            extractor_name=opts.extractor_name,
+            weights_path=opts.weights_path,
+            batch_size=opts.batch_size,
+            resume=opts.resume,
+            bop_root=opts.bop_root,
+            repre_dir=opts.repre_dir,
+            detections_path=os.path.join(opts.detections_dir, f"{ds}.json"),
+            output_dir=opts.output_dir,
+        )
+        infer_mod.infer(infer_opts)
+        csv = sub_mod.prepare(
+            sub_mod.PrepareBopSubmissionOpts(
+                object_dataset=ds,
+                version=opts.version,
+                results_dir=opts.output_dir,
+            )
+        )
+        out[ds] = csv
+    return out
+
+
+def main() -> None:
+    sweep(config_util.load_opts(SweepOpts))
+
+
+if __name__ == "__main__":
+    main()
