@@ -11,7 +11,6 @@ ragged per-template feature sets stay jit-friendly.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -11,7 +11,6 @@ query sets stay static-shaped.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

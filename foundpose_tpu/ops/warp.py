@@ -9,13 +9,10 @@ of one cv2 call per instance.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from foundpose_tpu import geometry
 from foundpose_tpu.structs import PinholeCamera
 
 Array = jax.Array

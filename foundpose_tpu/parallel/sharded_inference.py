@@ -17,7 +17,6 @@ Built on `shard_map` so the collective schedule is explicit and inspectable.
 
 from __future__ import annotations
 
-from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

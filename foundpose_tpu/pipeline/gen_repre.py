@@ -15,8 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -25,7 +24,7 @@ from foundpose_tpu import geometry
 from foundpose_tpu.models import dinov2, weights as weights_mod
 from foundpose_tpu.ops import morphology, sampling
 from foundpose_tpu.ops.kmeans import kmeans
-from foundpose_tpu.ops.pca import PCA, fit_pca, pca_transform
+from foundpose_tpu.ops.pca import fit_pca, pca_transform
 from foundpose_tpu.ops.tfidf import TfidfConfig, calc_template_tfidf_descriptors
 from foundpose_tpu.repre import ObjectRepre, make_repre, save_repre
 from foundpose_tpu.structs import PinholeCamera

@@ -17,7 +17,6 @@ stream of fixed-shape work regardless of how many detections each image has.
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -32,7 +31,7 @@ from foundpose_tpu.pipeline import inference
 from foundpose_tpu.repre import load_repre
 from foundpose_tpu.structs import PinholeCamera
 from foundpose_tpu.utils import config as config_util
-from foundpose_tpu.utils.logging_util import Timer, get_logger, log_heading
+from foundpose_tpu.utils.logging_util import get_logger, log_heading
 
 logger = get_logger()
 
@@ -279,7 +278,6 @@ def save_visualization(
     import jax
     import jax.numpy as jnp
 
-    from foundpose_tpu.vis import base as vb
     from foundpose_tpu.vis import inference_vis
 
     est_mask = None

@@ -16,8 +16,7 @@ search, at PCA, and at PnP; SURVEY.md §3.1 "process/device boundaries").
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +45,8 @@ class InferenceConfig:
     grid_cell_size: float = 14.0
     top_n_templates: int = 5
     top_k_buddies: int = 300
+    # Use TPU-optimized approximate top-k in the buddy selection.
+    approx_topk: bool = False
     pnp_ransac_iter: int = 400
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
@@ -181,6 +182,7 @@ def pose_from_features(
             repre.bank_vertices,
             repre.bank_mask,
             top_k=config.top_k_buddies,
+            approx_topk=config.approx_topk,
         )
 
         # RANSAC-PnP per template hypothesis set.

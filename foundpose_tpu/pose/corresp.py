@@ -11,7 +11,7 @@ whole search vmaps over the retrieved templates and over detection crops.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ def cyclic_buddies(
     object_feats: Array,
     object_mask: Array,
     top_k: int,
+    approx_topk: bool = False,
 ) -> tuple[Array, Array, Array, Array, Array]:
     """Best buddies via cyclic 2D distance (Gupta et al., arXiv:2204.03635).
 
@@ -69,8 +70,15 @@ def cyclic_buddies(
     cycle_dists = jnp.linalg.norm(u1 - u2, axis=-1)
     cycle_dists = jnp.where(query_mask, cycle_dists, _INF)
 
-    neg, query_bb_ids = jax.lax.top_k(-cycle_dists, top_k)
-    bb_dists = -neg
+    if approx_topk:
+        # TPU-optimized approximate selection (avoids a full sort); buddies
+        # near the cut boundary are interchangeable for RANSAC.
+        bb_dists, query_bb_ids = jax.lax.approx_min_k(
+            cycle_dists, top_k, recall_target=0.95
+        )
+    else:
+        neg, query_bb_ids = jax.lax.top_k(-cycle_dists, top_k)
+        bb_dists = -neg
     valid = jnp.isfinite(bb_dists)
     # Score = 1 - d / d_max over the selected (valid) buddies
     # (reference: utils/corresp_util.py:63-65).
@@ -90,6 +98,7 @@ def establish_correspondences(
     bank_vertices: Array,
     bank_mask: Array,
     top_k: int,
+    approx_topk: bool = False,
 ) -> Correspondences:
     """Buddy correspondences for every retrieved template of one crop.
 
@@ -109,7 +118,8 @@ def establish_correspondences(
         verts = bank_vertices[tid]
         mask = bank_mask[tid]
         q_ids, o_ids, dists, scores, valid = cyclic_buddies(
-            query_points, query_feats, query_mask, feats, mask, top_k
+            query_points, query_feats, query_mask, feats, mask, top_k,
+            approx_topk=approx_topk,
         )
         return Correspondences(
             coord_2d=query_points[q_ids],

@@ -15,10 +15,9 @@ TPU-native re-design of the reference `FeatureBasedObjectRepre`
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Any, Dict, List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ leaves so shapes stay compile-time constants under jit.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

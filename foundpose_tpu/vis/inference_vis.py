@@ -9,7 +9,7 @@ correspondence lines, and a PCA RGB rendering of the dense feature map.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -266,3 +266,18 @@ def test_full_framework_end_to_end(tmp_path):
     assert lines[0] == "scene_id,im_id,obj_id,score,R,t,time"
     assert len(lines) == 2
     assert lines[1].startswith("1,0,1,")
+
+    # 5. AR evaluation of the submission against the synthetic GT.
+    from foundpose_tpu.pipeline import eval_ar as eval_ar_mod
+
+    ar = eval_ar_mod.evaluate(
+        eval_ar_mod.EvalArOpts(
+            object_dataset="demo",
+            submission_path=csv_path,
+            bop_root=bop_root,
+        )
+    )
+    # The recovered pose is within a few degrees/mm => most thresholds hit.
+    assert ar["ar_mssd"] > 0.5
+    assert ar["ar_mspd"] > 0.5
+    assert 0.0 < ar["bop_ar"] <= 1.0
