@@ -178,6 +178,17 @@ class EvaluatorPose:
                 out[f"{field}_median"] = float(np.median(vals))
         return out
 
+    def save_metrics_tsv(self, path: str) -> None:
+        """Writes the per-object metric table as TSV
+        (reference: utils/eval_util.py:400-516 tabulate tables)."""
+        from tabulate import tabulate
+
+        s = self.summary()
+        rows = [[k, f"{v:.4f}"] for k, v in sorted(s.items())]
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(tabulate(rows, headers=["metric", "value"], tablefmt="tsv"))
+
 
 def write_bop_submission(
     output_path: str,

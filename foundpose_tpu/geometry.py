@@ -183,6 +183,50 @@ def orthogonalize_rotation(m: Array) -> Array:
     return _mm(u * d[..., None, :], vt)
 
 
+def inverse_3x3(m: Array) -> Array:
+    """Closed-form inverse of [..., 3, 3] matrices (adjugate / det).
+
+    Pure elementwise ops — vectorizes over huge batches where LAPACK-style
+    factorizations would serialize on TPU.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([co_c, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def polar_rotation(m: Array, iters: int = 8) -> Array:
+    """Closest rotation to [..., 3, 3] matrices via Newton polar iteration.
+
+    X <- (X + X^-T) / 2 with the closed-form 3x3 inverse — converges
+    quadratically to the orthogonal polar factor for nonsingular input and
+    batches perfectly on TPU (unlike batched tiny SVDs). Assumes det(m) > 0
+    (callers fix the sign first, as the DLT scale normalization does).
+    """
+    x = m * (jnp.sqrt(3.0) / jnp.maximum(
+        jnp.linalg.norm(m, axis=(-2, -1), keepdims=True), 1e-30))
+
+    def body(x, _):
+        x_inv_t = jnp.swapaxes(inverse_3x3(x), -1, -2)
+        return 0.5 * (x + x_inv_t), None
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return x
+
+
 def rodrigues(rvec: Array) -> Array:
     """Axis-angle [..., 3] -> rotation matrix [..., 3, 3] (jit/vmappable)."""
     theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)

@@ -466,6 +466,7 @@ def infer(opts: InferOpts) -> None:
             evaluator.save_results_json(
                 os.path.join(out_dir, "estimated-poses.json")
             )
+            evaluator.save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
         logger.info(f"Summary for object {lid}: {evaluator.summary()}")
 
 

@@ -104,7 +104,9 @@ def _dlt_pose(pts3d: Array, rays: Array, solver: str = "power") -> tuple[Array, 
     det = jnp.linalg.det(r_raw)
     sign = jnp.where(det < 0, -1.0, 1.0)
     scale = sign / jnp.cbrt(jnp.abs(det) + 1e-30)
-    r = geometry.orthogonalize_rotation(r_raw * scale)
+    # Polar (not SVD) orthogonalization: batches over 10^4+ RANSAC hypotheses
+    # without serializing into tiny LAPACK kernels.
+    r = geometry.polar_rotation(r_raw * scale)
     t_n = p[:, 3] * scale
     # Undo the normalization: x ~ R((X-mu)s) + t_n  =>  t = t_n/s - R mu.
     t = t_n / s - r @ mu

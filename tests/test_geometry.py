@@ -102,3 +102,30 @@ def test_orthogonalize_rotation(rng):
     fixed = np.asarray(geometry.orthogonalize_rotation(jnp.asarray(noisy)))
     np.testing.assert_allclose(fixed @ fixed.T, np.eye(3), atol=1e-5)
     assert np.linalg.det(fixed) > 0.99
+
+
+def test_inverse_3x3_matches_numpy(rng):
+    ms = rng.normal(size=(50, 3, 3)) + 2 * np.eye(3)
+    inv = np.asarray(geometry.inverse_3x3(jnp.asarray(ms)))
+    np.testing.assert_allclose(inv, np.linalg.inv(ms), rtol=1e-4, atol=1e-5)
+
+
+def test_polar_rotation_matches_svd(rng):
+    for _ in range(10):
+        r = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+        noisy = r * 1.3 + 0.05 * rng.normal(size=(3, 3))  # scaled + perturbed
+        got = np.asarray(geometry.polar_rotation(jnp.asarray(noisy)))
+        exp = np.asarray(geometry.orthogonalize_rotation(jnp.asarray(noisy)))
+        np.testing.assert_allclose(got, exp, atol=1e-4)
+        np.testing.assert_allclose(got @ got.T, np.eye(3), atol=1e-5)
+
+
+def test_polar_rotation_batched(rng):
+    ms = np.stack(
+        [Rotation.random(random_state=i).as_matrix() * (0.5 + i * 0.1) for i in range(8)]
+    )
+    got = np.asarray(geometry.polar_rotation(jnp.asarray(ms)))
+    for i in range(8):
+        np.testing.assert_allclose(
+            got[i], Rotation.random(random_state=i).as_matrix(), atol=1e-4
+        )
