@@ -1,0 +1,141 @@
+"""PoseEngine: persistent in-process serving API.
+
+A deployment-facing layer with no reference counterpart (the reference only
+ships batch CLIs): the engine holds the ViT parameters and any number of
+object representations resident in HBM, compiles one fixed-shape step per
+(object, batch-size) pair, and serves `estimate()` calls — full images with
+detection boxes/masks in, world-frame poses out. Batches are padded to the
+configured size so every call after the first reuses the compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from foundpose_tpu import cameras as cam_mod
+from foundpose_tpu.models import dinov2, weights as weights_mod
+from foundpose_tpu.pipeline import inference
+from foundpose_tpu.repre import ObjectRepre
+from foundpose_tpu.structs import PinholeCamera
+
+
+class PoseEngine:
+    def __init__(
+        self,
+        extractor_name: str = (
+            "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+        ),
+        weights_path: Optional[str] = None,
+        config: Optional[inference.InferenceConfig] = None,
+        batch_size: int = 16,
+        seed: int = 0,
+    ):
+        import jax
+
+        self.vit_cfg = dinov2.parse_model_name(extractor_name)
+        if weights_path:
+            self.vit_params = weights_mod.load_checkpoint(weights_path, self.vit_cfg)
+        else:
+            self.vit_params = dinov2.init_params(jax.random.PRNGKey(seed), self.vit_cfg)
+        self.config = config or inference.InferenceConfig()
+        self.batch_size = batch_size
+        self._repres: Dict[int, ObjectRepre] = {}
+        self._step = inference.jit_pose_from_crops(self.vit_cfg, self.config)
+        self._counter = 0
+
+    def register_object(self, obj_id: int, repre: ObjectRepre) -> None:
+        self._repres[obj_id] = repre
+
+    @property
+    def object_ids(self) -> List[int]:
+        return sorted(self._repres)
+
+    def estimate(
+        self,
+        obj_id: int,
+        image: np.ndarray,
+        boxes_xyxy: Sequence[np.ndarray],
+        K: np.ndarray,
+        masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+    ) -> List[Dict[str, Any]]:
+        """Estimates poses for all detections of `obj_id` in one image.
+
+        Args:
+            image: [H, W, 3] uint8 or float RGB.
+            boxes_xyxy: detection boxes in image coordinates.
+            K: 3x3 intrinsics of the image.
+            masks: optional per-detection modal masks [H, W].
+        Returns:
+            One dict per detection: {"success", "R_m2c", "t_m2c", "quality",
+            "score", "best_template", "crop_camera"} — camera-frame poses
+            (image camera == world here).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from foundpose_tpu.ops import warp as warp_mod
+
+        repre = self._repres[obj_id]
+        h, w = image.shape[:2]
+        img = image.astype(np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        orig_cam = PinholeCamera.from_intrinsic_matrix(K, width=w, height=h)
+
+        n = len(boxes_xyxy)
+        crop_cams = []
+        crops = []
+        crop_masks = []
+        for i, box in enumerate(boxes_xyxy):
+            crop_box = cam_mod.calc_crop_box(jnp.asarray(box, dtype=jnp.float32))
+            crop_cam = cam_mod.construct_crop_camera(
+                box=crop_box,
+                camera_c2w=orig_cam,
+                viewport_size=self.config.crop_size,
+                viewport_rel_pad=0.2,
+            )
+            crop_cams.append(crop_cam)
+            crops.append(warp_mod.warp_image(orig_cam, crop_cam, jnp.asarray(img)))
+            m = None if masks is None else masks[i]
+            if m is None:
+                m = np.ones((h, w), np.float32)
+            crop_masks.append(
+                warp_mod.warp_image(
+                    orig_cam, crop_cam, jnp.asarray(m.astype(np.float32)),
+                    interpolation="nearest",
+                )
+            )
+
+        # Pad to the engine batch size (fixed compiled shape).
+        bs = self.batch_size
+        out_all: List[Dict[str, Any]] = []
+        for s in range(0, n, bs):
+            chunk = list(range(s, min(s + bs, n)))
+            pad = bs - len(chunk)
+            idx = chunk + [chunk[-1]] * pad
+            batch_crops = jnp.stack([crops[i] for i in idx])
+            batch_masks = jnp.stack([crop_masks[i] for i in idx])
+            batch_cams = jax.tree.map(
+                lambda *x: jnp.stack(x), *[crop_cams[i] for i in idx]
+            )
+            self._counter += 1
+            out = self._step(
+                self.vit_params, batch_crops, batch_masks, batch_cams, repre,
+                jax.random.PRNGKey(self._counter),
+            )
+            out_np = jax.tree.map(np.asarray, out)
+            for j, i in enumerate(chunk):
+                out_all.append(
+                    {
+                        "success": bool(out_np.success[j]),
+                        "R_m2c": out_np.R_m2w[j],  # world == image camera
+                        "t_m2c": out_np.t_m2w[j],
+                        "quality": float(out_np.quality[j]),
+                        "score": float(out_np.score[j]),
+                        "best_template": int(out_np.best_template[j]),
+                        "crop_camera": crop_cams[i],
+                    }
+                )
+        return out_all

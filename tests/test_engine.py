@@ -1,0 +1,49 @@
+import dataclasses
+
+import numpy as np
+
+from foundpose_tpu import engine as engine_mod
+from foundpose_tpu.models import dinov2
+from foundpose_tpu.pipeline import inference
+
+from test_pipeline import make_synthetic_world
+
+
+def test_engine_estimates_batch(rng, monkeypatch):
+    eng = engine_mod.PoseEngine.__new__(engine_mod.PoseEngine)
+    # Tiny ViT for CPU speed.
+    cfg = dinov2.DinoV2Config(
+        variant="vits14", embed_dim=32, depth=2, num_heads=2, mlp_ratio=4.0,
+        swiglu=False, patch_size=14, num_register_tokens=4, pos_grid=6,
+        stride=14, facet="token", layer=1, apply_norm=True,
+    )
+    import jax
+
+    eng.vit_cfg = cfg
+    eng.vit_params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    eng.config = inference.InferenceConfig(
+        crop_size=(84, 84), grid_cell_size=14.0, top_n_templates=2,
+        top_k_buddies=16, pnp_ransac_iter=50, lm_iters=3,
+    )
+    eng.batch_size = 2
+    eng._repres = {}
+    eng._step = inference.jit_pose_from_crops(cfg, eng.config)
+    eng._counter = 0
+
+    repre, *_ = make_synthetic_world(rng, feat_dim=32)
+    eng.register_object(9, repre)
+    assert eng.object_ids == [9]
+
+    image = (rng.uniform(size=(240, 320, 3)) * 255).astype(np.uint8)
+    K = np.array([[300.0, 0, 159.5], [0, 300.0, 119.5], [0, 0, 1]])
+    boxes = [
+        np.array([80.0, 60.0, 180.0, 160.0]),
+        np.array([100.0, 80.0, 220.0, 200.0]),
+        np.array([50.0, 40.0, 150.0, 140.0]),
+    ]
+    out = eng.estimate(9, image, boxes, K)
+    assert len(out) == 3
+    for r in out:
+        assert r["R_m2c"].shape == (3, 3)
+        assert np.isfinite(r["t_m2c"]).all()
+        assert r["crop_camera"].width == 84
