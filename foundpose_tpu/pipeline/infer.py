@@ -422,6 +422,7 @@ def infer(opts: InferOpts) -> None:
         results = run_batches(pending, step, vit_params, repre, opts.batch_size)
 
         renderer = None
+        vis_images = []
         if opts.vis_results:
             from foundpose_tpu.renderer.base import RendererType, build as build_renderer
 
@@ -433,11 +434,14 @@ def infer(opts: InferOpts) -> None:
             for vi, (p, r) in enumerate(results[: opts.vis_count]):
                 if not r["success"]:
                     continue
+                path = os.path.join(
+                    vis_dir, f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}.png"
+                )
                 save_visualization(
-                    p, r, repre, renderer, lid,
-                    os.path.join(vis_dir, f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}.png"),
+                    p, r, repre, renderer, lid, path,
                     max_corresp=opts.vis_corresp_top_n,
                 )
+                vis_images.append((r, path))
 
         for p, r in results:
             if not r["success"]:
@@ -467,6 +471,21 @@ def infer(opts: InferOpts) -> None:
                 os.path.join(out_dir, "estimated-poses.json")
             )
             evaluator.save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
+            # Best/worst gallery over the visualized estimates
+            # (reference: utils/eval_util.py:518-590).
+            if vis_images:
+                from PIL import Image as PILImage
+
+                from foundpose_tpu.vis.html_report import write_gallery
+
+                recs, imgs = [], []
+                for r, path in vis_images:
+                    recs.append({"score": r["score"], "quality": r["quality"]})
+                    imgs.append(np.asarray(PILImage.open(path)))
+                write_gallery(
+                    os.path.join(out_dir, "report.html"), recs, imgs,
+                    metric_key="score", top_n=min(10, len(recs)),
+                )
         logger.info(f"Summary for object {lid}: {evaluator.summary()}")
 
 
