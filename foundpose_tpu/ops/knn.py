@@ -126,6 +126,27 @@ def knn_search_tiled(
     return best_d, best_i
 
 
+def radius_search(
+    queries: Array,
+    bank: Array,
+    radius: float,
+    max_neighbors: int,
+    metric: str = "l2",
+    bank_mask: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
+    """Fixed-size radius search: up to `max_neighbors` bank rows within
+    `radius` of each query (squared-L2 for "l2", matching faiss range search
+    semantics; reference: utils/knn_util.py:85-89).
+
+    Returns (dists [..., Q, M], ids [..., Q, M], valid [..., Q, M]) where
+    padding slots beyond the in-radius count are masked out.
+    """
+    dists, ids = knn_search(queries, bank, k=max_neighbors, metric=metric,
+                            bank_mask=bank_mask)
+    valid = dists <= radius
+    return jnp.where(valid, dists, 0.0), ids, valid
+
+
 def argmin_dist(
     queries: Array, bank: Array, bank_mask: Optional[Array] = None
 ) -> Tuple[Array, Array]:

@@ -309,3 +309,15 @@ def test_opening_matches_cv2(rng):
     got = np.asarray(morphology.opening(jnp.asarray(mask), 3))
     exp = cv2.morphologyEx(mask, cv2.MORPH_OPEN, np.ones((3, 3), np.uint8))
     np.testing.assert_array_equal(got, exp)
+
+
+def test_radius_search(rng):
+    q = rng.normal(size=(5, 4)).astype(np.float32)
+    bank = np.concatenate([q + 0.01, rng.normal(size=(30, 4)).astype(np.float32) + 10])
+    d, ids, valid = knn.radius_search(
+        jnp.asarray(q), jnp.asarray(bank), radius=0.1, max_neighbors=3
+    )
+    v = np.asarray(valid)
+    # Each query has exactly its offset twin within radius.
+    assert (v.sum(axis=1) == 1).all()
+    np.testing.assert_array_equal(np.asarray(ids)[np.arange(5), 0], np.arange(5))
