@@ -162,7 +162,8 @@ def make_sharded_step(
 
             def per_template(bfeats, bverts, bmask, kk):
                 q_ids, o_ids, _, conf, bvalid = corresp_mod.cyclic_buddies(
-                    points, feats, valid, bfeats, bmask, config.top_k_buddies
+                    points, feats, valid, bfeats, bmask, config.top_k_buddies,
+                    approx_topk=config.approx_topk,
                 )
                 res = pnp_mod.ransac_pnp(
                     points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
@@ -179,15 +180,33 @@ def make_sharded_step(
             )
             quality = jnp.where(results.success, results.quality, -1.0)
             best = jnp.argmax(quality)
+            r_best = results.R[best]
+            t_best = results.t[best]
+
+            # Optional featuremetric refinement against the winning template's
+            # (already-fetched) bank, mirroring the single-chip pipeline.
+            if config.refine_featuremetric:
+                from foundpose_tpu.pose.featuremetric import (
+                    refine_pose_featuremetric,
+                )
+
+                fmap_proj = pca_transform(raw_projector, fmap) if has_pca else fmap
+                r_best, t_best, _ = refine_pose_featuremetric(
+                    r_best, t_best, fmap_proj, kf, kc,
+                    sel_verts[best], sel_feats[best], sel_mask[best],
+                    crop_size=config.crop_size,
+                    iters=config.featuremetric_iters,
+                )
+
             num_grid = points.shape[0]
             score = inference_mod.estimate_score(
-                results.R[best], results.t[best], c2d[best], c2d_ids[best],
+                r_best, t_best, c2d[best], c2d_ids[best],
                 c3d[best], cvalid[best], kf, kc,
                 num_query_points=num_grid,
                 inlier_radius=config.pnp_inlier_thresh,
             )
             return (
-                results.success[best], results.R[best], results.t[best],
+                results.success[best], r_best, t_best,
                 quality[best], score, template_ids, template_scores,
                 template_ids[best], results.quality, jnp.sum(validf),
                 c2d[best], c3d[best], cconf[best], cvalid[best],
