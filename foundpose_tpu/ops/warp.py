@@ -107,8 +107,31 @@ def warp_image(
 ) -> Array:
     """Warps an HW[C] image from the source to the destination camera.
 
-    (reference: utils/misc.py:458-519)
+    interpolation: "bilinear", "nearest", or "area2x" — a 2x2-supersampled
+    bilinear warp approximating cv2.INTER_AREA for moderate downscales (the
+    reference picks INTER_AREA when the crop box is wider than the viewport,
+    scripts/infer.py:433-437). (reference warp: utils/misc.py:458-519)
     """
+    if interpolation == "area2x":
+        # Average 4 bilinear samples taken at destination quarter-pixel
+        # offsets, mapped through the camera chain.
+        hh, ww = dst_camera.height, dst_camera.width
+        px = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 1)
+        py = jax.lax.broadcasted_iota(jnp.float32, (hh, ww), 0)
+        acc = None
+        for dx in (-0.25, 0.25):
+            for dy in (-0.25, 0.25):
+                win = jnp.stack([px + dx, py + dy], axis=-1)
+                eye = dst_camera.window_to_eye(win)
+                world = dst_camera.eye_to_world(eye)
+                src_eye = src_camera.world_to_eye(world)
+                src_win = src_camera.eye_to_window(src_eye)
+                if depth_check:
+                    src_win = jnp.where(src_eye[..., 2:3] < 0, -1.0, src_win)
+                s = bilinear_sample(src_image, src_win)
+                acc = s if acc is None else acc + s
+        return acc / 4.0
+
     src_win = backward_map(src_camera, dst_camera, depth_check=depth_check)
     if interpolation == "bilinear":
         return bilinear_sample(src_image, src_win)

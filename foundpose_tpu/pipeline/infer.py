@@ -125,7 +125,10 @@ def make_warp_fn(crop_size: Tuple[int, int]):
                                 width=src_cams.width, height=src_cams.height)
             dst = PinholeCamera(f=df, c=dc, T_world_from_eye=dt,
                                 width=crop_size[0], height=crop_size[1])
-            out_img = warp_mod.warp_image(src, dst, img, interpolation="bilinear")
+            # area2x tracks the reference's INTER_AREA choice for downscaling
+            # crops and degrades gracefully to (slightly smoothed) bilinear
+            # when upsampling (reference: scripts/infer.py:433-443).
+            out_img = warp_mod.warp_image(src, dst, img, interpolation="area2x")
             out_msk = warp_mod.warp_image(src, dst, msk, interpolation="nearest")
             return out_img, out_msk
 
