@@ -43,12 +43,12 @@ def main():
                              num_words=2048, raw_dim=384)
 
     batch = 16
-    crops = jnp.asarray(rng.uniform(size=(batch, 420, 420, 3)).astype(np.float32))
-    mask_np = np.zeros((batch, 420, 420), dtype=np.float32)
-    mask_np[:, 80:340, 80:340] = (
-        rng.uniform(size=(batch, 260, 260)) > 0.4
-    ).astype(np.float32)
-    masks = jnp.asarray(mask_np)
+    # Inputs generated on device (host uploads are slow on tunneled backends).
+    kc, km = jax.random.split(jax.random.PRNGKey(7))
+    crops = jax.random.uniform(kc, (batch, 420, 420, 3), jnp.float32)
+    inner = (jax.random.uniform(km, (batch, 260, 260)) > 0.4).astype(jnp.float32)
+    masks = jnp.zeros((batch, 420, 420), jnp.float32)
+    masks = masks.at[:, 80:340, 80:340].set(inner)
     cameras = PinholeCamera(
         f=jnp.tile(jnp.asarray([[600.0, 600.0]]), (batch, 1)),
         c=jnp.tile(jnp.asarray([[209.5, 209.5]]), (batch, 1)),
