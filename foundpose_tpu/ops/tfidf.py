@@ -163,6 +163,7 @@ def tfidf_retrieve(
     top_n: int,
     config: TfidfConfig,
     query_mask: Optional[Array] = None,
+    template_mask: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Retrieves the top-N templates for one query crop.
 
@@ -185,5 +186,7 @@ def tfidf_retrieve(
         jnp.linalg.norm(template_descs, axis=-1, keepdims=True), 1e-12
     )
     sims = tn @ qn
+    if template_mask is not None:
+        sims = jnp.where(template_mask, sims, -jnp.inf)
     scores, ids = jax.lax.top_k(sims, top_n)
     return ids, scores

@@ -1,0 +1,150 @@
+"""Mixed-object batched inference: one jitted step over crops of MANY objects.
+
+Design-target component with no reference counterpart (the reference runs a
+sequential per-object loop, scripts/infer.py:179): all object representations
+are stacked into one padded multi-object repre (repre.stack_repres) and each
+crop carries its object index — the pipeline gathers the right codebook /
+descriptor bank per crop inside the same XLA program, so one batch can mix
+detections of different objects (full-image inference in one step).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from foundpose_tpu import geometry
+from foundpose_tpu.models import dinov2
+from foundpose_tpu.ops.pca import pca_transform
+from foundpose_tpu.ops.tfidf import tfidf_retrieve
+from foundpose_tpu.pipeline.inference import (
+    InferenceConfig,
+    PoseOutputs,
+    estimate_score,
+    query_features_from_map,
+)
+from foundpose_tpu.pose import corresp as corresp_mod
+from foundpose_tpu.pose import pnp as pnp_mod
+from foundpose_tpu.repre import ObjectRepre
+from foundpose_tpu.structs import PinholeCamera
+
+Array = jax.Array
+
+
+def pose_from_features_multi(
+    feature_maps: Array,
+    masks: Array,
+    cameras: PinholeCamera,
+    obj_idx: Array,
+    multi_repre: ObjectRepre,
+    key: Array,
+    config: InferenceConfig,
+) -> PoseOutputs:
+    """Like inference.pose_from_features, but each crop selects its object.
+
+    Args:
+        obj_idx: [B] int index into the stacked multi-object repre.
+        multi_repre: output of repre.stack_repres (leading object axis on all
+            array fields).
+    """
+    b = feature_maps.shape[0]
+    cdt = config.compute_dtype
+
+    def per_crop(fmap, mask, cam_f, cam_c, oi, crop_key):
+        # Gather this crop's object tables (XLA lowers to HBM gathers).
+        words = multi_repre.word_centroids[oi].astype(cdt)
+        idfs = multi_repre.word_idfs[oi].astype(cdt)
+        descs = multi_repre.template_descs[oi].astype(cdt)
+        bank_feats = multi_repre.bank_feats[oi]
+        bank_vertices = multi_repre.bank_vertices[oi]
+        bank_mask = multi_repre.bank_mask[oi]
+        template_mask = (
+            multi_repre.template_mask[oi]
+            if multi_repre.template_mask is not None
+            else None
+        )
+
+        points, feats, valid = query_features_from_map(
+            fmap, mask, config.crop_size, config.grid_cell_size
+        )
+        if multi_repre.raw_projector is not None:
+            proj = jax.tree.map(lambda a: a[oi], multi_repre.raw_projector)
+            feats = pca_transform(proj, feats)
+        feats = feats.astype(cdt)
+        validf = valid.astype(cdt)
+
+        template_ids, template_scores = tfidf_retrieve(
+            feats, words, idfs, descs,
+            top_n=config.top_n_templates,
+            config=multi_repre.tfidf_config,
+            query_mask=validf,
+            template_mask=template_mask,
+        )
+        cors = corresp_mod.establish_correspondences(
+            points, feats, valid, template_ids, template_scores,
+            bank_feats.astype(cdt), bank_vertices, bank_mask,
+            top_k=config.top_k_buddies,
+            approx_topk=config.approx_topk,
+        )
+        pnp_keys = jax.random.split(crop_key, config.top_n_templates)
+        results = jax.vmap(
+            lambda c2, c3, v, k: pnp_mod.ransac_pnp(
+                c2, c3, v, cam_f, cam_c, k,
+                num_hypotheses=config.pnp_ransac_iter,
+                inlier_thresh=config.pnp_inlier_thresh,
+                refine_lm=config.pnp_refine_lm,
+                lm_iters=config.lm_iters,
+            )
+        )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
+        quality = jnp.where(results.success, results.quality, -1.0)
+        best = jnp.argmax(quality)
+        num_grid = points.shape[0]
+        score = estimate_score(
+            results.R[best], results.t[best], cors.coord_2d[best],
+            cors.coord_2d_ids[best], cors.coord_3d[best], cors.valid[best],
+            cam_f, cam_c, num_query_points=num_grid,
+            inlier_radius=config.pnp_inlier_thresh,
+        )
+        return (
+            results.success[best], results.R[best], results.t[best],
+            quality[best], score, template_ids, template_scores,
+            template_ids[best], results.quality, jnp.sum(validf),
+            cors.coord_2d[best], cors.coord_3d[best], cors.coord_conf[best],
+            cors.valid[best],
+        )
+
+    keys = jax.random.split(key, b)
+    (success, r_m2c, t_m2c, quality, score, template_ids, template_scores,
+     best_template, per_tpl_quality, num_queries,
+     best_c2d, best_c3d, best_conf, best_cvalid) = jax.vmap(per_crop)(
+        feature_maps, masks, cameras.f, cameras.c, obj_idx, keys
+    )
+
+    m2c = geometry.as_4x4_rt(r_m2c, t_m2c)
+    m2w = jnp.matmul(
+        cameras.T_world_from_eye, m2c, precision=jax.lax.Precision.HIGHEST
+    )
+    return PoseOutputs(
+        success=success, R_m2c=r_m2c, t_m2c=t_m2c,
+        R_m2w=m2w[..., :3, :3], t_m2w=m2w[..., :3, 3],
+        quality=quality, score=score, template_ids=template_ids,
+        template_scores=template_scores, best_template=best_template,
+        per_template_quality=per_tpl_quality, num_queries=num_queries,
+        best_corresp_2d=best_c2d, best_corresp_3d=best_c3d,
+        best_corresp_conf=best_conf, best_corresp_valid=best_cvalid,
+    )
+
+
+def jit_pose_from_crops_multi(vit_cfg: dinov2.DinoV2Config, config: InferenceConfig):
+    """Jitted image->pose step over mixed-object batches."""
+
+    @jax.jit
+    def step(vit_params, crops, masks, cameras, obj_idx, multi_repre, key):
+        images = dinov2.normalize_images(crops).astype(config.compute_dtype)
+        fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
+        return pose_from_features_multi(
+            fmaps.astype(jnp.float32), masks, cameras, obj_idx, multi_repre,
+            key, config,
+        )
+
+    return step

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,9 @@ class ObjectRepre:
     template_cameras: PinholeCamera
     # Raw-feature projector (PCA); identity if None.
     raw_projector: Optional[PCA] = None
+    # Validity of template rows (used when stacking objects with different
+    # template counts into one padded multi-object repre).
+    template_mask: Optional[Array] = None  # [T] bool
     # Static metadata.
     tfidf_config: TfidfConfig = struct.field(pytree_node=False, default=TfidfConfig())
     extractor_name: str = struct.field(pytree_node=False, default="")
@@ -204,6 +207,89 @@ def load_repre(repre_dir: str) -> ObjectRepre:
         extractor_name=meta.get("extractor_name", ""),
         templates=data["templates"] if "templates" in data else None,
         feat_mask=data["feat_mask"],
+    )
+
+
+def stack_repres(repres) -> "ObjectRepre":
+    """Stacks per-object representations into one multi-object repre with a
+    leading object axis, padding ragged template counts / bank widths / flat
+    feature counts. Enables mixed-object batches in one jitted step
+    (design target, SURVEY.md §2.4; no reference counterpart).
+
+    All repres must share the feature dim, word count, and tfidf config.
+    """
+    n_obj = len(repres)
+    t_max = max(r.template_descs.shape[0] for r in repres)
+    f_max = max(r.bank_feats.shape[1] for r in repres)
+    flat_max = max(r.feat_vectors.shape[0] for r in repres)
+    d = repres[0].feat_vectors.shape[1]
+    w = repres[0].word_centroids.shape[0]
+
+    def pad_to(a, shape):
+        a = np.asarray(a)
+        pads = [(0, s - a.shape[i]) for i, s in enumerate(shape)]
+        return np.pad(a, pads)
+
+    fields: Dict[str, list] = {k: [] for k in [
+        "vertices", "feat_vectors", "feat_to_template_ids", "feat_mask",
+        "word_centroids", "word_idfs", "template_descs", "bank_feats",
+        "bank_vertices", "bank_mask", "template_mask", "cam_f", "cam_c", "cam_t",
+    ]}
+    for r in repres:
+        t, fm, fl = (r.template_descs.shape[0], r.bank_feats.shape[1],
+                     r.feat_vectors.shape[0])
+        fields["vertices"].append(pad_to(r.vertices, (flat_max, 3)))
+        fields["feat_vectors"].append(pad_to(r.feat_vectors, (flat_max, d)))
+        fields["feat_to_template_ids"].append(
+            pad_to(r.feat_to_template_ids, (flat_max,))
+        )
+        fields["feat_mask"].append(
+            pad_to(np.asarray(r.feat_mask, dtype=bool), (flat_max,))
+        )
+        fields["word_centroids"].append(np.asarray(r.word_centroids))
+        fields["word_idfs"].append(np.asarray(r.word_idfs))
+        fields["template_descs"].append(pad_to(r.template_descs, (t_max, w)))
+        fields["bank_feats"].append(pad_to(r.bank_feats, (t_max, f_max, d)))
+        fields["bank_vertices"].append(pad_to(r.bank_vertices, (t_max, f_max, 3)))
+        fields["bank_mask"].append(
+            pad_to(np.asarray(r.bank_mask, dtype=bool), (t_max, f_max))
+        )
+        tm = np.zeros(t_max, dtype=bool)
+        tm[:t] = True
+        fields["template_mask"].append(tm)
+        fields["cam_f"].append(pad_to(r.template_cameras.f, (t_max, 2)))
+        fields["cam_c"].append(pad_to(r.template_cameras.c, (t_max, 2)))
+        fields["cam_t"].append(pad_to(r.template_cameras.T_world_from_eye, (t_max, 4, 4)))
+
+    cam = PinholeCamera(
+        f=jnp.asarray(np.stack(fields["cam_f"])),
+        c=jnp.asarray(np.stack(fields["cam_c"])),
+        T_world_from_eye=jnp.asarray(np.stack(fields["cam_t"])),
+        width=repres[0].template_cameras.width,
+        height=repres[0].template_cameras.height,
+    )
+    proj = None
+    if repres[0].raw_projector is not None:
+        proj = jax.tree.map(
+            lambda *x: jnp.stack([jnp.asarray(v) for v in x]),
+            *[r.raw_projector for r in repres],
+        )
+    return ObjectRepre(
+        vertices=jnp.asarray(np.stack(fields["vertices"])),
+        feat_vectors=jnp.asarray(np.stack(fields["feat_vectors"])),
+        feat_to_template_ids=jnp.asarray(np.stack(fields["feat_to_template_ids"])),
+        feat_mask=jnp.asarray(np.stack(fields["feat_mask"])),
+        word_centroids=jnp.asarray(np.stack(fields["word_centroids"])),
+        word_idfs=jnp.asarray(np.stack(fields["word_idfs"])),
+        template_descs=jnp.asarray(np.stack(fields["template_descs"])),
+        bank_feats=jnp.asarray(np.stack(fields["bank_feats"])),
+        bank_vertices=jnp.asarray(np.stack(fields["bank_vertices"])),
+        bank_mask=jnp.asarray(np.stack(fields["bank_mask"])),
+        template_cameras=cam,
+        raw_projector=proj,
+        tfidf_config=repres[0].tfidf_config,
+        extractor_name=repres[0].extractor_name,
+        template_mask=jnp.asarray(np.stack(fields["template_mask"])),
     )
 
 
