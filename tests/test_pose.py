@@ -225,3 +225,20 @@ def test_ransac_pnp_vmaps_over_templates(rng):
     for i, (r, t, *_rest) in enumerate(problems):
         assert bool(np.asarray(res.success)[i])
         assert float(geometry.rotation_error_deg(res.R[i], jnp.asarray(r))) < 1.5
+
+
+def test_cyclic_buddies_approx_topk_matches_exact(rng):
+    nq, nf, d = 80, 90, 8
+    qf = rng.normal(size=(nq, d)).astype(np.float32)
+    of = rng.normal(size=(nf, d)).astype(np.float32)
+    pts = rng.uniform(0, 400, size=(nq, 2)).astype(np.float32)
+    exact = corresp.cyclic_buddies(
+        jnp.asarray(pts), jnp.asarray(qf), jnp.ones(nq, bool),
+        jnp.asarray(of), jnp.ones(nf, bool), top_k=40, approx_topk=False,
+    )
+    approx = corresp.cyclic_buddies(
+        jnp.asarray(pts), jnp.asarray(qf), jnp.ones(nq, bool),
+        jnp.asarray(of), jnp.ones(nf, bool), top_k=40, approx_topk=True,
+    )
+    # On CPU approx_min_k is exact; the selected query sets must agree.
+    assert set(np.asarray(exact[0]).tolist()) == set(np.asarray(approx[0]).tolist())
