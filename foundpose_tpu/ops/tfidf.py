@@ -105,6 +105,7 @@ def assign_words(
     word_centroids: Array,
     knn_k: int,
     metric: str = "l2",
+    approx: bool = False,
 ) -> Tuple[Array, Array]:
     """k nearest visual words per feature; returns (ids [N,k], dists [N,k]).
 
@@ -112,7 +113,9 @@ def assign_words(
     matching the faiss convention the reference relies on
     (reference: utils/template_util.py:13-29).
     """
-    d2, ids = knn_search(features, word_centroids, k=knn_k, metric=metric)
+    d2, ids = knn_search(
+        features, word_centroids, k=knn_k, metric=metric, approx=approx
+    )
     dists = jnp.sqrt(jnp.maximum(d2, 0.0)) if metric == "l2" else d2
     return ids, dists
 
@@ -164,6 +167,7 @@ def tfidf_retrieve(
     config: TfidfConfig,
     query_mask: Optional[Array] = None,
     template_mask: Optional[Array] = None,
+    approx_topk: bool = False,
 ) -> Tuple[Array, Array]:
     """Retrieves the top-N templates for one query crop.
 
@@ -171,7 +175,8 @@ def tfidf_retrieve(
     cosine similarity. (reference: utils/template_util.py:126-176)
     """
     word_ids, word_dists = assign_words(
-        query_features, word_centroids, config.knn_k, config.metric
+        query_features, word_centroids, config.knn_k, config.metric,
+        approx=approx_topk,
     )
     q = calc_tfidf(
         word_ids,

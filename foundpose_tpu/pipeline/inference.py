@@ -169,6 +169,8 @@ def pose_from_features(
             top_n=config.top_n_templates,
             config=repre.tfidf_config,
             query_mask=validf,
+            template_mask=repre.template_mask,
+            approx_topk=config.approx_topk,
         )
 
         # Cyclic-buddy correspondences per retrieved template.

@@ -79,6 +79,7 @@ def pose_from_features_multi(
             config=multi_repre.tfidf_config,
             query_mask=validf,
             template_mask=template_mask,
+            approx_topk=config.approx_topk,
         )
         cors = corresp_mod.establish_correspondences(
             points, feats, valid, template_ids, template_scores,
