@@ -70,8 +70,13 @@ class InferOpts:
     pnp_required_ransac_conf: float = 0.99
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
+    refine_featuremetric: bool = False
 
     final_pose_type: str = "best_coarse"
+
+    # TPU-native performance options.
+    use_pallas_attention: bool = False
+    approx_topk: bool = False
 
     batch_size: int = 16
     save_estimates: bool = True
@@ -327,7 +332,10 @@ def save_visualization(
 def infer(opts: InferOpts) -> None:
     import jax
 
-    vit_cfg = dinov2.parse_model_name(opts.extractor_name)
+    vit_cfg = dataclasses.replace(
+        dinov2.parse_model_name(opts.extractor_name),
+        use_pallas_attention=opts.use_pallas_attention,
+    )
     if opts.weights_path:
         vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
     else:
@@ -339,9 +347,11 @@ def infer(opts: InferOpts) -> None:
         grid_cell_size=opts.grid_cell_size,
         top_n_templates=opts.match_top_n_templates,
         top_k_buddies=opts.match_top_k_buddies,
+        approx_topk=opts.approx_topk,
         pnp_ransac_iter=opts.pnp_ransac_iter,
         pnp_inlier_thresh=opts.pnp_inlier_thresh,
         pnp_refine_lm=opts.pnp_refine_lm,
+        refine_featuremetric=opts.refine_featuremetric,
     )
     step = inference.jit_pose_from_crops(vit_cfg, config)
     warp_batch = make_warp_fn(opts.crop_size)
