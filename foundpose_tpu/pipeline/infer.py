@@ -164,7 +164,12 @@ def prepare_instance_crops(
     crop_cams = []
     kept = []
     t0 = time.perf_counter()
+    half_image = 0.5 * h * w
     for det in instances:
+        # Skip degenerate detections covering more than half of the image
+        # (reference: scripts/infer.py:389-393, e.g. itodd false positives).
+        if det.mask is not None and det.mask.sum() > half_image:
+            continue
         box = jnp.asarray(det.box_xyxy)
         crop_box = cam_mod.calc_crop_box(box, make_square=True)
         crop_cam = cam_mod.construct_crop_camera(
