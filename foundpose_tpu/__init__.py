@@ -8,3 +8,28 @@ over detection crops, shardable across a TPU mesh.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax-heavy modules on package import)."""
+    if name == "PoseEngine":
+        from foundpose_tpu.engine import PoseEngine
+
+        return PoseEngine
+    if name == "ObjectRepre":
+        from foundpose_tpu.repre import ObjectRepre
+
+        return ObjectRepre
+    if name == "load_repre":
+        from foundpose_tpu.repre import load_repre
+
+        return load_repre
+    if name == "InferenceConfig":
+        from foundpose_tpu.pipeline.inference import InferenceConfig
+
+        return InferenceConfig
+    if name == "PinholeCamera":
+        from foundpose_tpu.structs import PinholeCamera
+
+        return PinholeCamera
+    raise AttributeError(f"module 'foundpose_tpu' has no attribute '{name}'")
