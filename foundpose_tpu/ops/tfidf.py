@@ -133,9 +133,25 @@ def calc_template_tfidf_descriptors(
     (reference: utils/template_util.py:74-123)
     """
     num_words = word_centroids.shape[0]
-    word_ids, word_dists = assign_words(
-        feat_vectors, word_centroids, config.knn_k, config.metric
-    )
+    # Chunked assignment keeps the [N, W] distance block bounded for large
+    # banks (~300k features x 2048 words at full LM-O scale).
+    n = feat_vectors.shape[0]
+    chunk = 65536
+    if n > chunk:
+        ids_l, dists_l = [], []
+        for s in range(0, n, chunk):
+            i, d = assign_words(
+                feat_vectors[s : s + chunk], word_centroids, config.knn_k,
+                config.metric,
+            )
+            ids_l.append(i)
+            dists_l.append(d)
+        word_ids = jnp.concatenate(ids_l)
+        word_dists = jnp.concatenate(dists_l)
+    else:
+        word_ids, word_dists = assign_words(
+            feat_vectors, word_centroids, config.knn_k, config.metric
+        )
     idfs = calc_word_idfs(
         word_ids[:, 0], feat_to_template_ids, num_words, num_templates, feature_mask
     )
