@@ -191,3 +191,27 @@ def test_repre_save_load_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(back.bank_mask), np.asarray(repre.bank_mask))
     assert back.tfidf_config == repre.tfidf_config
     assert back.template_cameras.width == 420
+
+
+def test_pose_from_features_bench_config(rng):
+    """The bench configuration (bf16 compute + approximate top-k) still
+    recovers the GT pose on the synthetic world."""
+    import jax.numpy as jnp2
+
+    repre, obj_points, obj_feats, tpl_point_ids = make_synthetic_world(rng)
+    fmap, mask, camera, r_gt, t_gt = render_synthetic_query(
+        rng, obj_points, obj_feats, tpl_point_ids, 3
+    )
+    cameras = jax.tree.map(lambda *x: jnp.stack(x), camera)
+    config = inference.InferenceConfig(
+        top_n_templates=3, top_k_buddies=60, pnp_ransac_iter=200,
+        compute_dtype=jnp2.bfloat16, approx_topk=True,
+    )
+    out = inference.pose_from_features(
+        jnp.asarray(fmap)[None], jnp.asarray(mask)[None], cameras, repre,
+        jax.random.PRNGKey(0), config,
+    )
+    assert bool(out.success[0])
+    rot_err = float(geometry.rotation_error_deg(out.R_m2c[0], jnp.asarray(r_gt)))
+    assert rot_err < 8.0, rot_err
+    np.testing.assert_allclose(np.asarray(out.t_m2c[0]), t_gt, atol=0.03)
