@@ -158,10 +158,13 @@ def ransac_pnp(
     rays = (pts2d - k_c) / k_f
 
     # --- hypothesis sampling: [H, 6] indices over valid correspondences ----
-    probs = validf / jnp.maximum(jnp.sum(validf), 1.0)
-    sample_ids = jax.random.choice(
-        key, n, shape=(num_hypotheses, 6), replace=True, p=probs
-    )
+    # Uniform-over-valid via compaction: argsort puts valid indices first,
+    # uniform ints are folded into [0, count). Orders of magnitude cheaper
+    # than jax.random.choice's weighted inverse-CDF path on TPU.
+    order = jnp.argsort(jnp.logical_not(valid))  # valid first, stable
+    count = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    u = jax.random.randint(key, (num_hypotheses, 6), 0, n)
+    sample_ids = order[u % count]
 
     def solve_one(ids):
         return _dlt_pose(pts3d[ids], rays[ids])
