@@ -40,12 +40,46 @@ class PnPResult(NamedTuple):
     quality: Array  # [] float inlier count (reference: pnp_util.py:77-79)
 
 
+def _cholesky_unrolled(a: Array) -> Array:
+    """Cholesky of a small PSD matrix [..., n, n], unrolled over columns.
+
+    n is static and tiny (12), so the 12-step column loop becomes ~36 fused
+    elementwise/batched ops — vastly faster on TPU than the batched
+    LAPACK-style factorization when vmapped over 10^4+ RANSAC hypotheses.
+    """
+    n = a.shape[-1]
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        s = a[..., j:, j] - jnp.einsum(
+            "...ik,...k->...i", l[..., j:, :j], l[..., j, :j]
+        )
+        d = jnp.sqrt(jnp.maximum(s[..., 0], 1e-30))
+        l = l.at[..., j:, j].set(s / d[..., None])
+    return l
+
+
+def _cho_solve_unrolled(l: Array, b: Array) -> Array:
+    """Solves (L L^T) x = b by unrolled forward/back substitution."""
+    n = l.shape[-1]
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        s = b[..., i] - jnp.einsum("...k,...k->...", l[..., i, :i], y[..., :i])
+        y = y.at[..., i].set(s / l[..., i, i])
+    x = jnp.zeros_like(b)
+    for i in reversed(range(n)):
+        s = y[..., i] - jnp.einsum(
+            "...k,...k->...", l[..., i + 1 :, i], x[..., i + 1 :]
+        )
+        x = x.at[..., i].set(s / l[..., i, i])
+    return x
+
+
 def _smallest_eigvec_12(ata: Array, iters: int = 3) -> Array:
     """Eigenvector of the smallest eigenvalue of a 12x12 PSD matrix.
 
-    Inverse iteration: factor (A + εI) once with Cholesky, then a fixed number
-    of triangular solves. Converges at ratio (λmin+ε)/(λ2+ε) per step, so 2-3
-    iterations suffice; this runs vmapped over
+    Inverse iteration: factor (A + εI) once with the unrolled Cholesky, then a
+    fixed number of triangular solves. Converges at ratio (λmin+ε)/(λ2+ε) per
+    step, so 2-3 iterations suffice; this runs vmapped over
     (crops x templates x 400 hypotheses) and avoids batched QR-based `eigh`.
     """
     # Scale-normalize so the regularization is meaningful regardless of the
@@ -53,13 +87,13 @@ def _smallest_eigvec_12(ata: Array, iters: int = 3) -> Array:
     ata = ata / jnp.maximum(jnp.trace(ata), 1e-30)
     eps = 1e-9
     m = ata + eps * jnp.eye(12, dtype=ata.dtype)
-    chol = jax.scipy.linalg.cho_factor(m)
+    l = _cholesky_unrolled(m)
     # Deterministic, unstructured init (avoids being orthogonal to the target).
     v0 = jnp.cos(jnp.arange(12, dtype=ata.dtype) * 0.7 + 0.3)
     v0 = v0 / jnp.linalg.norm(v0)
 
     def body(v, _):
-        w = jax.scipy.linalg.cho_solve(chol, v)
+        w = _cho_solve_unrolled(l, v)
         return w / jnp.maximum(jnp.linalg.norm(w), 1e-30), None
 
     v, _ = jax.lax.scan(body, v0, None, length=iters)

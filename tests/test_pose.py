@@ -242,3 +242,20 @@ def test_cyclic_buddies_approx_topk_matches_exact(rng):
     )
     # On CPU approx_min_k is exact; the selected query sets must agree.
     assert set(np.asarray(exact[0]).tolist()) == set(np.asarray(approx[0]).tolist())
+
+
+def test_unrolled_cholesky_matches_scipy(rng):
+    from scipy.linalg import cho_factor, cho_solve
+
+    a = rng.normal(size=(7, 12, 12))
+    ata = a @ np.transpose(a, (0, 2, 1)) + 0.1 * np.eye(12)
+    l = np.asarray(pnp._cholesky_unrolled(jnp.asarray(ata, dtype=jnp.float32)))
+    for i in range(7):
+        np.testing.assert_allclose(l[i] @ l[i].T, ata[i], rtol=1e-4, atol=1e-4)
+    b = rng.normal(size=(7, 12))
+    x = np.asarray(
+        pnp._cho_solve_unrolled(jnp.asarray(l), jnp.asarray(b))
+    )
+    for i in range(7):
+        exp = cho_solve(cho_factor(ata[i]), b[i])
+        np.testing.assert_allclose(x[i], exp, rtol=2e-3, atol=2e-3)
