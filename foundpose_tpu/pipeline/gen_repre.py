@@ -69,20 +69,31 @@ class GenRepreOpts:
     output_dir: str = ""
 
 
-def load_template_arrays(metadata: List[dict]) -> Tuple[np.ndarray, ...]:
+def load_template_arrays(
+    metadata: List[dict], templates_dir: Optional[str] = None
+) -> Tuple[np.ndarray, ...]:
     """Loads all template rgb/depth/mask images + cameras from metadata.
 
     Accepts both our metadata and the reference's released format
-    (reference consumption: scripts/gen_repre.py:100-135).
+    (reference consumption: scripts/gen_repre.py:100-135). When the stored
+    paths don't exist (released artifacts carry absolute paths from another
+    machine), they are rebased onto `templates_dir` by their trailing
+    `<subdir>/<filename>` components.
     """
     from foundpose_tpu.pipeline.gen_templates import camera_from_json, load_depth_png
+
+    def resolve(path: str) -> str:
+        if os.path.exists(path) or templates_dir is None:
+            return path
+        tail = os.path.join(*path.replace("\\", "/").split("/")[-2:])
+        return os.path.join(templates_dir, tail)
 
     images, depths, masks, cam_f, cam_c, cam_t = [], [], [], [], [], []
     width = height = None
     for item in metadata:
-        img = np.asarray(Image.open(item["rgb_image_path"]).convert("RGB"))
-        depth = load_depth_png(item["depth_map_path"])
-        mask = np.asarray(Image.open(item["binary_mask_path"])) > 0
+        img = np.asarray(Image.open(resolve(item["rgb_image_path"])).convert("RGB"))
+        depth = load_depth_png(resolve(item["depth_map_path"]))
+        mask = np.asarray(Image.open(resolve(item["binary_mask_path"]))) > 0
         cam = camera_from_json(item["cameras"])
         images.append(img.astype(np.float32) / 255.0)
         depths.append(depth)
@@ -138,6 +149,7 @@ def generate_repre(
     metadata: List[dict],
     vit_params=None,
     output_dir: Optional[str] = None,
+    templates_dir: Optional[str] = None,
 ) -> ObjectRepre:
     """Builds and (optionally) saves the repre for one object."""
     import jax
@@ -153,7 +165,9 @@ def generate_repre(
             vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
 
     timer.start()
-    images, depths, masks, cam_f, cam_c, cam_t, (w, h) = load_template_arrays(metadata)
+    images, depths, masks, cam_f, cam_c, cam_t, (w, h) = load_template_arrays(
+        metadata, templates_dir=templates_dir
+    )
     timer.elapsed("Template loading")
 
     register = make_registration_fn(vit_cfg, opts.grid_cell_size, (w, h))
@@ -295,7 +309,10 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
             raise ValueError(f"Output dir exists (overwrite=False): {output_dir}")
         os.makedirs(output_dir, exist_ok=True)
         config_util.save_opts(opts, os.path.join(output_dir, "config.json"))
-        generate_repre(opts, metadata, vit_params=vit_params, output_dir=output_dir)
+        generate_repre(
+            opts, metadata, vit_params=vit_params, output_dir=output_dir,
+            templates_dir=templates_dir,
+        )
 
 
 def main() -> None:
