@@ -461,10 +461,22 @@ def infer(opts: InferOpts) -> None:
                 )
                 vis_images.append((r, path))
 
+        cam_t_np = np.asarray(repre.template_cameras.T_world_from_eye)
         for p, r in results:
             if not r["success"]:
                 continue
-            evaluator.update(
+            # Template orientation error: geodesic distance between the best
+            # template's model->camera rotation and the GT rotation
+            # (reference diagnostic: utils/eval_util.py template orientation).
+            tpl_orient_err = None
+            if p.gt is not None:
+                t_c2m = cam_t_np[r["best_template"]]
+                r_tpl_m2c = np.linalg.inv(t_c2m)[:3, :3]
+                cosang = np.clip(
+                    (np.trace(r_tpl_m2c @ np.asarray(p.gt.R_m2c).T) - 1) / 2, -1, 1
+                )
+                tpl_orient_err = float(np.degrees(np.arccos(cosang)))
+            rec = evaluator.update(
                 scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
                 hypothesis_id=0, obj_id=p.obj_id,
                 R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
@@ -478,6 +490,8 @@ def infer(opts: InferOpts) -> None:
                 sym_t=sym_t if p.gt else None,
                 K=np.asarray(p.orig_camera.K) if p.gt else None,
             )
+            if tpl_orient_err is not None:
+                rec.time["template_orientation_err_deg"] = tpl_orient_err
 
         if opts.save_estimates:
             out_dir = os.path.join(
