@@ -321,3 +321,29 @@ def test_radius_search(rng):
     # Each query has exactly its offset twin within radius.
     assert (v.sum(axis=1) == 1).all()
     np.testing.assert_array_equal(np.asarray(ids)[np.arange(5), 0], np.arange(5))
+
+
+def test_template_descs_scatter_matches_per_template_loop(rng):
+    """Single-pass scatter implementation == literal per-template loop."""
+    t, per, d, w = 6, 20, 8, 16
+    feats = rng.normal(size=(t * per, d)).astype(np.float32)
+    tids = np.repeat(np.arange(t), per).astype(np.int32)
+    words = rng.normal(size=(w, d)).astype(np.float32)
+    mask = (rng.uniform(size=t * per) > 0.3).astype(np.float32)
+    for soft in [False, True]:
+        cfg = tfidf.TfidfConfig(knn_k=3, soft_assign=soft, soft_sigma_squared=5.0)
+        descs, idfs = tfidf.calc_template_tfidf_descriptors(
+            jnp.asarray(feats), jnp.asarray(tids), jnp.asarray(words), t, cfg,
+            feature_mask=jnp.asarray(mask),
+        )
+        # Literal per-template loop using calc_tfidf.
+        ids, dists = tfidf.assign_words(jnp.asarray(feats), jnp.asarray(words), 3)
+        for ti in range(t):
+            m = jnp.asarray(((tids == ti) & (mask > 0)).astype(np.float32))
+            exp = tfidf.calc_tfidf(
+                ids, dists, idfs, soft_assign=soft, soft_sigma_squared=5.0,
+                feature_mask=m,
+            )
+            np.testing.assert_allclose(
+                np.asarray(descs[ti]), np.asarray(exp), atol=1e-5
+            )
