@@ -49,7 +49,7 @@ def main():
     repre = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,
                              num_words=2048, raw_dim=384)
 
-    batch = 16
+    batch = 64
     # Inputs generated on device (host uploads are slow on tunneled backends).
     kc, km = jax.random.split(jax.random.PRNGKey(7))
     crops = jax.random.uniform(kc, (batch, 420, 420, 3), jnp.float32)
