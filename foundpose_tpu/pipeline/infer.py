@@ -393,6 +393,7 @@ def infer(opts: InferOpts) -> None:
         # Gather (scene, image) pairs: from detections, or from GT annotations
         # when use_detections=False (reference: infer_pose_util.py:140-149).
         pending: List[PendingInstance] = []
+        results = []
         if opts.use_detections:
             keys = sorted(k for k in all_dets if k[2] == lid)
             image_keys = [(s, i) for s, i, _ in keys]
@@ -433,11 +434,22 @@ def infer(opts: InferOpts) -> None:
                     )
                 evaluator.detection_times[(scene_id, im_id)] = 0.0
             pending.extend(prepare_instance_crops(sample, instances, opts, warp_batch))
+            # Stream full batches to the device as they fill, so host memory
+            # stays bounded by ~2 batches of crops rather than the whole split.
+            while len(pending) >= opts.batch_size:
+                results.extend(
+                    run_batches(pending[: opts.batch_size], step, vit_params,
+                                repre, opts.batch_size)
+                )
+                pending = pending[opts.batch_size :]
 
-        logger.info(f"{len(pending)} instances for object {lid}")
-        if not pending:
+        if pending:
+            results.extend(
+                run_batches(pending, step, vit_params, repre, opts.batch_size)
+            )
+        logger.info(f"{len(results)} instances processed for object {lid}")
+        if not results:
             continue
-        results = run_batches(pending, step, vit_params, repre, opts.batch_size)
 
         renderer = None
         vis_images = []
