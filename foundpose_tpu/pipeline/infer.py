@@ -58,6 +58,7 @@ class InferOpts:
         "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
     )
     grid_cell_size: float = 14.0
+    max_num_queries: int = 1000000
     weights_path: Optional[str] = None
 
     match_template_type: str = "tfidf"
@@ -83,6 +84,8 @@ class InferOpts:
     vis_results: bool = False
     vis_count: int = 10
     vis_corresp_top_n: int = 100
+    vis_feat_map: bool = True
+    vis_for_paper: bool = True
     # Skip objects whose estimated-poses.json already exists (coarse-grained
     # resume; the reference only resumes at whole-stage granularity,
     # SURVEY.md §5.4).
@@ -350,6 +353,7 @@ def infer(opts: InferOpts) -> None:
     config = inference.InferenceConfig(
         crop_size=opts.crop_size,
         grid_cell_size=opts.grid_cell_size,
+        max_num_queries=opts.max_num_queries,
         top_n_templates=opts.match_top_n_templates,
         top_k_buddies=opts.match_top_k_buddies,
         approx_topk=opts.approx_topk,

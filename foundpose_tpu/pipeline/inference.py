@@ -43,6 +43,9 @@ class InferenceConfig:
 
     crop_size: Tuple[int, int] = (420, 420)
     grid_cell_size: float = 14.0
+    # Random subsampling cap on valid query points
+    # (reference: scripts/infer.py:484-492; default effectively unlimited).
+    max_num_queries: int = 1000000
     top_n_templates: int = 5
     top_k_buddies: int = 300
     # Use TPU-optimized approximate top-k in the buddy selection.
@@ -154,6 +157,11 @@ def pose_from_features(
         points, feats, valid = query_features_from_map(
             fmap, mask, config.crop_size, config.grid_cell_size
         )
+        if config.max_num_queries < points.shape[0]:
+            crop_key, sub_key = jax.random.split(crop_key)
+            valid = sampling.subsample_points(
+                points, valid, config.max_num_queries, sub_key
+            )
         # PCA projection (one matmul; reference: scripts/infer.py:507-520).
         if repre.raw_projector is not None:
             feats = pca_transform(repre.raw_projector, feats)

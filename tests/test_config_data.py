@@ -126,3 +126,23 @@ def test_associate_gt_by_iou():
     gts = [np.array([20, 20, 30, 30]), np.array([1, 1, 11, 11]), None]
     assert det_mod.associate_gt_by_iou(det_box, gts) == 1
     assert det_mod.associate_gt_by_iou(det_box, [np.array([50, 50, 60, 60])]) == -1
+
+
+def test_reference_infer_config_loads():
+    """The reference's published configs/infer/lmo.json fields all load."""
+    from foundpose_tpu.pipeline.infer import InferOpts
+
+    ref_cfg = {
+        "version": "v1", "object_dataset": "lmo", "repre_version": "v1",
+        "crop_rel_pad": 0.2, "crop_size": [420, 420], "use_detections": True,
+        "extractor_name":
+            "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_logbin=0_norm=1",
+        "grid_cell_size": 14.0, "match_template_type": "tfidf",
+        "match_top_n_templates": 5, "match_feat_matching_type": "cyclic_buddies",
+        "match_top_k_buddies": 300, "pnp_type": "opencv", "pnp_ransac_iter": 400,
+        "pnp_inlier_thresh": 10.0, "final_pose_type": "best_coarse",
+        "num_preds_factor": 1, "vis_results": True,
+    }
+    opts = cfg_mod.from_dict(InferOpts, ref_cfg)
+    assert opts.match_top_k_buddies == 300
+    assert opts.crop_size == (420, 420)
