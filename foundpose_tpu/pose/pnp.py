@@ -100,6 +100,135 @@ def _smallest_eigvec_12(ata: Array, iters: int = 3) -> Array:
     return v
 
 
+def _cholesky_unrolled_lane_major(a: Array) -> Array:
+    """As _cholesky_unrolled, but for [n, n, ...] matrices (batch trailing).
+
+    With the (huge) hypothesis batch in the trailing/lane dimension, every
+    elementwise op runs at full lane utilization instead of the ~12/128 a
+    [..., 12, 12] layout gets.
+    """
+    n = a.shape[0]
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        s = a[j:, j] - jnp.einsum("ik...,k...->i...", l[j:, :j], l[j, :j])
+        d = jnp.sqrt(jnp.maximum(s[0], 1e-30))
+        l = l.at[j:, j].set(s / d[None])
+    return l
+
+
+def _cho_solve_lane_major(l: Array, b: Array) -> Array:
+    """Solves (L L^T) x = b for [n, ...] right-hand sides (batch trailing)."""
+    n = l.shape[0]
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        s = b[i] - jnp.einsum("k...,k...->...", l[i, :i], y[:i])
+        y = y.at[i].set(s / l[i, i])
+    x = jnp.zeros_like(b)
+    for i in reversed(range(n)):
+        s = y[i] - jnp.einsum("k...,k...->...", l[i + 1 :, i], x[i + 1 :])
+        x = x.at[i].set(s / l[i, i])
+    return x
+
+
+def _inverse_3x3_lane_major(m: Array) -> Array:
+    """Closed-form inverse for [3, 3, ...] matrices (batch trailing)."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, -(b * i - c * h), b * f - c * e]),
+            jnp.stack([co_b, a * i - c * g, -(a * f - c * d)]),
+            jnp.stack([co_c, -(a * h - b * g), a * e - b * d]),
+        ]
+    )
+    return adj * inv_det[None, None]
+
+
+def _polar_rotation_lane_major(m: Array, iters: int = 8) -> Array:
+    """Newton polar iteration for [3, 3, ...] matrices (batch trailing)."""
+    norm = jnp.sqrt(jnp.sum(m * m, axis=(0, 1), keepdims=True))
+    x = m * (jnp.sqrt(3.0) / jnp.maximum(norm, 1e-30))
+
+    def body(x, _):
+        inv = _inverse_3x3_lane_major(x)
+        x_inv_t = jnp.swapaxes(inv, 0, 1)
+        return 0.5 * (x + x_inv_t), None
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return x
+
+
+def _dlt_pose_many(pts3d: Array, rays: Array, ids: Array) -> tuple[Array, Array]:
+    """Solves all RANSAC minimal sets of one correspondence set at once.
+
+    Lane-major variant of vmap(_dlt_pose): the H hypotheses live in the
+    trailing dimension through the Cholesky/inverse-iteration/polar chains.
+
+    Args:
+        pts3d: [N, 3]; rays: [N, 2] (normalized); ids: [H, 6].
+    Returns:
+        (R [H, 3, 3], t [H, 3]).
+    """
+    x = pts3d[ids]  # [H, 6, 3]
+    r = rays[ids]  # [H, 6, 2]
+    h = x.shape[0]
+
+    # Hartley normalization per hypothesis.
+    mu = jnp.mean(x, axis=1, keepdims=True)  # [H, 1, 3]
+    spread = jnp.mean(jnp.linalg.norm(x - mu, axis=-1), axis=1)  # [H]
+    s = jnp.sqrt(3.0) / jnp.maximum(spread, 1e-12)  # [H]
+    xn = (x - mu) * s[:, None, None]
+
+    ones = jnp.ones((h, 6, 1), dtype=x.dtype)
+    zeros = jnp.zeros((h, 6, 4), dtype=x.dtype)
+    xh = jnp.concatenate([xn, ones], axis=-1)  # [H, 6, 4]
+    u = r[..., 0:1]
+    v = r[..., 1:2]
+    row_u = jnp.concatenate([xh, zeros, -u * xh], axis=-1)  # [H, 6, 12]
+    row_v = jnp.concatenate([zeros, xh, -v * xh], axis=-1)
+    a = jnp.concatenate([row_u, row_v], axis=1)  # [H, 12, 12]
+    ata = jnp.einsum("hmi,hmj->hij", a, a, precision=_P)
+
+    # Lane-major solve: [12, 12, H].
+    ata_t = jnp.moveaxis(ata, 0, -1)
+    trace = ata_t[0, 0] + ata_t[1, 1] + ata_t[2, 2] + ata_t[3, 3] + ata_t[4, 4] \
+        + ata_t[5, 5] + ata_t[6, 6] + ata_t[7, 7] + ata_t[8, 8] + ata_t[9, 9] \
+        + ata_t[10, 10] + ata_t[11, 11]
+    ata_t = ata_t / jnp.maximum(trace, 1e-30)[None, None]
+    m = ata_t + 1e-9 * jnp.eye(12, dtype=ata.dtype)[..., None]
+    l = _cholesky_unrolled_lane_major(m)
+    v0 = jnp.cos(jnp.arange(12, dtype=ata.dtype) * 0.7 + 0.3)
+    v0 = (v0 / jnp.linalg.norm(v0))[:, None] * jnp.ones((1, h), dtype=ata.dtype)
+
+    def body(vv, _):
+        w = _cho_solve_lane_major(l, vv)
+        return w / jnp.maximum(jnp.sqrt(jnp.sum(w * w, axis=0)), 1e-30)[None], None
+
+    vec, _ = jax.lax.scan(body, v0, None, length=3)  # [12, H]
+
+    p = vec.reshape(3, 4, h)
+    r_raw = p[:, :3]  # [3, 3, H]
+    det = (
+        r_raw[0, 0] * (r_raw[1, 1] * r_raw[2, 2] - r_raw[1, 2] * r_raw[2, 1])
+        - r_raw[0, 1] * (r_raw[1, 0] * r_raw[2, 2] - r_raw[1, 2] * r_raw[2, 0])
+        + r_raw[0, 2] * (r_raw[1, 0] * r_raw[2, 1] - r_raw[1, 1] * r_raw[2, 0])
+    )
+    sign = jnp.where(det < 0, -1.0, 1.0)
+    scale = sign / jnp.cbrt(jnp.abs(det) + 1e-30)
+    rot = _polar_rotation_lane_major(r_raw * scale[None, None])  # [3, 3, H]
+    t_n = p[:, 3] * scale[None]  # [3, H]
+    # Undo normalization: t = t_n/s - R mu.
+    r_mu = jnp.einsum("ij...,...j->i...", rot, mu[:, 0])  # [3, H]
+    t = t_n / s[None] - r_mu
+    return jnp.moveaxis(rot, -1, 0), t.T
+
+
 def _dlt_pose(pts3d: Array, rays: Array, solver: str = "power") -> tuple[Array, Array]:
     """[R|t] from >=6 correspondences via DLT in normalized coordinates.
 
@@ -200,10 +329,10 @@ def ransac_pnp(
     u = jax.random.randint(key, (num_hypotheses, 6), 0, n)
     sample_ids = order[u % count]
 
-    def solve_one(ids):
-        return _dlt_pose(pts3d[ids], rays[ids])
-
-    rs, ts = jax.vmap(solve_one)(sample_ids)  # [H,3,3], [H,3]
+    # Lane-major batched DLT: hypotheses ride the lane dimension through the
+    # Cholesky/polar chains (full lane utilization vs 12/128 for the naive
+    # per-hypothesis vmap).
+    rs, ts = _dlt_pose_many(pts3d, rays, sample_ids)  # [H,3,3], [H,3]
     # Degenerate minimal sets (collinear / duplicated points) can yield
     # non-finite solves; sanitize so they score zero instead of poisoning
     # argmax/LM (cv2 raises and the reference catches, pnp_util.py:56-63).

@@ -259,3 +259,25 @@ def test_unrolled_cholesky_matches_scipy(rng):
     for i in range(7):
         exp = cho_solve(cho_factor(ata[i]), b[i])
         np.testing.assert_allclose(x[i], exp, rtol=2e-3, atol=2e-3)
+
+
+def test_dlt_pose_many_matches_per_hypothesis(rng):
+    """Lane-major batched DLT == per-hypothesis solver."""
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(rng, n=60, noise=0.2)
+    rays = ((proj - k_c) / k_f).astype(np.float32)
+    pts3d = pts3d.astype(np.float32)
+    # Distinct indices per hypothesis: duplicate rows make the DLT null space
+    # ill-defined and the two solvers may pick different (equally valid)
+    # vectors; RANSAC scores such degenerate hypotheses near zero anyway.
+    ids = np.stack(
+        [rng.permutation(60)[:6] for _ in range(32)]
+    ).astype(np.int32)
+    rs_m, ts_m = pnp._dlt_pose_many(
+        jnp.asarray(pts3d), jnp.asarray(rays), jnp.asarray(ids)
+    )
+    for i in range(32):
+        r_one, t_one = pnp._dlt_pose(
+            jnp.asarray(pts3d[ids[i]]), jnp.asarray(rays[ids[i]])
+        )
+        np.testing.assert_allclose(np.asarray(rs_m[i]), np.asarray(r_one), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(ts_m[i]), np.asarray(t_one), atol=2e-2)
