@@ -1,0 +1,113 @@
+"""Pallas kernel: fused distance matrix + dual argmin for cyclic buddies.
+
+The XLA path materializes the [Q, F] squared-distance matrix in HBM and reads
+it back twice (query->object and object->query argmins) per
+(crop, template) pair; measured at ~0.2% MXU efficiency. This kernel keeps
+the whole matrix in VMEM per grid step: one MXU matmul, the masking, and both
+argmin reductions never touch HBM — only the two index vectors come out.
+
+Used by pose/corresp.py when `use_pallas` is enabled; numerically identical
+to the jnp path (tested in interpreter mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(q_ref, bank_ref, qmask_ref, bmask_ref, q2o_ref, o2q_ref,
+            *, q_real: int, f_real: int):
+    q = q_ref[0].astype(jnp.float32)  # [Qp, D]
+    bank = bank_ref[0, 0].astype(jnp.float32)  # [Fp, D]
+    qmask = qmask_ref[0] > 0  # [Qp]
+    bmask = bmask_ref[0, 0] > 0  # [Fp]
+
+    cross = jax.lax.dot_general(
+        q, bank, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Qp, Fp]
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)
+    bn = jnp.sum(bank * bank, axis=-1)[None, :]
+    d = jnp.maximum(qn + bn - 2.0 * cross, 0.0)
+
+    qp, fp = d.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (qp, fp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (qp, fp), 1)
+    valid = (
+        qmask[:, None] & bmask[None, :] & (rows < q_real) & (cols < f_real)
+    )
+    d = jnp.where(valid, d, jnp.inf)
+
+    q2o_ref[0, 0] = jnp.argmin(d, axis=1).astype(jnp.int32)
+    o2q_ref[0, 0] = jnp.argmin(d, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dual_argmin(
+    query_feats: Array,
+    bank_feats: Array,
+    query_mask: Array,
+    bank_mask: Array,
+    interpret: bool = False,
+):
+    """Nearest-neighbor indices in both directions for all (crop, template).
+
+    Args:
+        query_feats: [B, Q, D].
+        bank_feats: [B, T, F, D] (the per-crop top-n template banks).
+        query_mask: [B, Q] bool.
+        bank_mask: [B, T, F] bool.
+    Returns:
+        (q2o [B, T, Q] int32, o2q [B, T, F] int32) — indices of the nearest
+        valid counterpart (rows/cols that are fully masked return arbitrary
+        indices; callers mask downstream as the jnp path does).
+    """
+    b, q, d = query_feats.shape
+    _, t, f, _ = bank_feats.shape
+    qp = _round_up(q, 128)
+    fp = _round_up(f, 128)
+    dp = _round_up(d, 128)
+
+    qf = jnp.pad(query_feats, ((0, 0), (0, qp - q), (0, dp - d)))
+    bf = jnp.pad(bank_feats, ((0, 0), (0, 0), (0, fp - f), (0, dp - d)))
+    qm = jnp.pad(query_mask.astype(jnp.float32), ((0, 0), (0, qp - q)))
+    bm = jnp.pad(bank_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, fp - f)))
+
+    grid = (b, t)
+    q2o, o2q = pl.pallas_call(
+        functools.partial(_kernel, q_real=q, f_real=f),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, qp), jnp.int32),
+            jax.ShapeDtypeStruct((b, t, fp), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, qp, dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fp, dp), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, qp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qf, bf, qm, bm)
+
+    return q2o[..., :q], o2q[..., :f]

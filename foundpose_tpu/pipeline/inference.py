@@ -54,6 +54,8 @@ class InferenceConfig:
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
     lm_iters: int = 10
+    # Fused Pallas kernel for the buddy nearest-neighbor search.
+    use_pallas_buddies: bool = False
     # Featuremetric refinement (paper stage; not in the reference OSS release).
     refine_featuremetric: bool = False
     featuremetric_iters: int = 8
@@ -152,15 +154,16 @@ def pose_from_features(
     """
     b = feature_maps.shape[0]
     cdt = config.compute_dtype
+    grid_pts = sampling.grid_points(config.crop_size, config.grid_cell_size)
 
-    def per_crop(fmap, mask, cam_f, cam_c, crop_key):
+    # ---- stage A (vmapped): query features + PCA + retrieval ---------------
+    def retrieve_crop(fmap, mask, crop_key):
         points, feats, valid = query_features_from_map(
             fmap, mask, config.crop_size, config.grid_cell_size
         )
         if config.max_num_queries < points.shape[0]:
-            crop_key, sub_key = jax.random.split(crop_key)
             valid = sampling.subsample_points(
-                points, valid, config.max_num_queries, sub_key
+                points, valid, config.max_num_queries, crop_key
             )
         # PCA projection (one matmul; reference: scripts/infer.py:507-520).
         if repre.raw_projector is not None:
@@ -180,21 +183,33 @@ def pose_from_features(
             template_mask=repre.template_mask,
             approx_topk=config.approx_topk,
         )
+        return feats, valid, template_ids, template_scores
 
-        # Cyclic-buddy correspondences per retrieved template.
-        cors = corresp_mod.establish_correspondences(
-            points,
-            feats,
-            valid,
-            template_ids,
-            template_scores,
-            repre.bank_feats.astype(cdt),
-            repre.bank_vertices,
-            repre.bank_mask,
-            top_k=config.top_k_buddies,
-            approx_topk=config.approx_topk,
-        )
+    keys = jax.random.split(key, 2 * b)
+    sub_keys, crop_keys = keys[:b], keys[b:]
+    feats_b, valid_b, template_ids_b, template_scores_b = jax.vmap(retrieve_crop)(
+        feature_maps, masks, sub_keys
+    )
 
+    # ---- batched cyclic buddies (one fused Pallas kernel when enabled) -----
+    cors_b = corresp_mod.establish_correspondences_batch(
+        grid_pts,
+        feats_b,
+        valid_b,
+        template_ids_b,
+        template_scores_b,
+        repre.bank_feats.astype(cdt),
+        repre.bank_vertices,
+        repre.bank_mask,
+        top_k=config.top_k_buddies,
+        approx_topk=config.approx_topk,
+        use_pallas=config.use_pallas_buddies,
+    )
+
+    # ---- stage B (vmapped): RANSAC + refinement + selection ----------------
+    def per_crop(fmap, valid, template_ids, template_scores, cors, cam_f,
+                 cam_c, crop_key):
+        validf = valid.astype(cdt)
         # RANSAC-PnP per template hypothesis set.
         pnp_keys = jax.random.split(crop_key, config.top_n_templates)
         results = jax.vmap(
@@ -275,7 +290,6 @@ def pose_from_features(
             cors.valid[best],
         )
 
-    keys = jax.random.split(key, b)
     (
         success,
         r_m2c,
@@ -291,7 +305,10 @@ def pose_from_features(
         best_c3d,
         best_conf,
         best_cvalid,
-    ) = jax.vmap(per_crop)(feature_maps, masks, cameras.f, cameras.c, keys)
+    ) = jax.vmap(per_crop)(
+        feature_maps, valid_b, template_ids_b, template_scores_b, cors_b,
+        cameras.f, cameras.c, crop_keys,
+    )
 
     # Express poses in the world frame through the crop camera extrinsics
     # (reference: scripts/infer.py:658-666).

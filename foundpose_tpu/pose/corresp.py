@@ -88,6 +88,87 @@ def cyclic_buddies(
     return query_bb_ids, object_bb_ids, jnp.where(valid, bb_dists, 0.0), scores, valid
 
 
+def establish_correspondences_batch(
+    query_points: Array,
+    query_feats: Array,
+    query_mask: Array,
+    template_ids: Array,
+    template_scores: Array,
+    bank_feats: Array,
+    bank_vertices: Array,
+    bank_mask: Array,
+    top_k: int,
+    approx_topk: bool = False,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> Correspondences:
+    """Batched buddy correspondences for all crops x retrieved templates.
+
+    Like `establish_correspondences` but over the whole crop batch at once,
+    so the nearest-neighbor search can run as one fused Pallas kernel
+    (ops/buddies_kernel.py) instead of HBM-materialized distance matrices.
+
+    Args:
+        query_points: [Q, 2] shared query grid.
+        query_feats: [B, Q, D]; query_mask: [B, Q].
+        template_ids/scores: [B, T'].
+        bank_feats/vertices/mask: [T, F, ...] full per-object banks.
+    Returns a Correspondences pytree with leading [B, T'] axes.
+    """
+    sel_feats = jnp.take(bank_feats, template_ids, axis=0)  # [B, T', F, D]
+    sel_verts = jnp.take(bank_vertices, template_ids, axis=0)
+    sel_mask = jnp.take(bank_mask, template_ids, axis=0)
+
+    if use_pallas:
+        from foundpose_tpu.ops.buddies_kernel import dual_argmin
+
+        q2o, o2q = dual_argmin(
+            query_feats, sel_feats, query_mask, sel_mask, interpret=interpret
+        )
+    else:
+        def pair(qf, qm, bf, bm):
+            d = pairwise_sqdist(qf, bf)
+            d = jnp.where(qm[:, None], d, _INF)
+            d = jnp.where(bm[None, :], d, _INF)
+            return jnp.argmin(d, axis=1), jnp.argmin(d, axis=0)
+
+        q2o, o2q = jax.vmap(jax.vmap(pair, in_axes=(None, None, 0, 0)))(
+            query_feats, query_mask, sel_feats, sel_mask
+        )
+
+    def finish(q2o_i, o2q_i, verts, tid, tscore, qmask):
+        cycle_ids = o2q_i[q2o_i]  # [Q]
+        u1 = query_points
+        u2 = query_points[cycle_ids]
+        cycle_dists = jnp.linalg.norm(u1 - u2, axis=-1)
+        cycle_dists = jnp.where(qmask, cycle_dists, _INF)
+        if approx_topk:
+            bb_dists, q_ids = jax.lax.approx_min_k(cycle_dists, top_k,
+                                                   recall_target=0.95)
+        else:
+            neg, q_ids = jax.lax.top_k(-cycle_dists, top_k)
+            bb_dists = -neg
+        valid = jnp.isfinite(bb_dists)
+        d_max = jnp.max(jnp.where(valid, bb_dists, -_INF))
+        scores = jnp.where(valid, 1.0 - bb_dists / jnp.maximum(d_max, 1e-12), 0.0)
+        o_ids = q2o_i[q_ids]
+        return Correspondences(
+            coord_2d=query_points[q_ids],
+            coord_2d_ids=q_ids,
+            coord_3d=verts[o_ids],
+            coord_conf=scores,
+            nn_vertex_ids=o_ids,
+            cycle_dists=jnp.where(valid, bb_dists, 0.0),
+            valid=valid,
+            template_id=tid,
+            template_score=tscore,
+        )
+
+    return jax.vmap(
+        jax.vmap(finish, in_axes=(0, 0, 0, 0, 0, None))
+    )(q2o, o2q, sel_verts, template_ids, template_scores, query_mask)
+
+
 def establish_correspondences(
     query_points: Array,
     query_feats: Array,
