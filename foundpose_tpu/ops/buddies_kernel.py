@@ -30,8 +30,8 @@ def _kernel(q_ref, bank_ref, qmask_ref, bmask_ref, q2o_ref, o2q_ref,
             *, q_real: int, f_real: int):
     q = q_ref[0].astype(jnp.float32)  # [Qp, D]
     bank = bank_ref[0, 0].astype(jnp.float32)  # [Fp, D]
-    qmask = qmask_ref[0] > 0  # [Qp]
-    bmask = bmask_ref[0, 0] > 0  # [Fp]
+    qmask = qmask_ref[0, 0] > 0  # [Qp]
+    bmask = bmask_ref[0, 0, 0] > 0  # [Fp]
 
     cross = jax.lax.dot_general(
         q, bank, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -49,8 +49,8 @@ def _kernel(q_ref, bank_ref, qmask_ref, bmask_ref, q2o_ref, o2q_ref,
     )
     d = jnp.where(valid, d, jnp.inf)
 
-    q2o_ref[0, 0] = jnp.argmin(d, axis=1).astype(jnp.int32)
-    o2q_ref[0, 0] = jnp.argmin(d, axis=0).astype(jnp.int32)
+    q2o_ref[0, 0, 0] = jnp.argmin(d, axis=1).astype(jnp.int32)
+    o2q_ref[0, 0, 0] = jnp.argmin(d, axis=0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,15 +81,18 @@ def dual_argmin(
 
     qf = jnp.pad(query_feats, ((0, 0), (0, qp - q), (0, dp - d)))
     bf = jnp.pad(bank_feats, ((0, 0), (0, 0), (0, fp - f), (0, dp - d)))
-    qm = jnp.pad(query_mask.astype(jnp.float32), ((0, 0), (0, qp - q)))
+    # Masks/outputs get singleton second-to-last dims so their trailing block
+    # dims satisfy the TPU (8, 128) tiling rule via dim-equality.
+    qm = jnp.pad(query_mask.astype(jnp.float32), ((0, 0), (0, qp - q)))[:, None, :]
     bm = jnp.pad(bank_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, fp - f)))
+    bm = bm[:, :, None, :]
 
     grid = (b, t)
     q2o, o2q = pl.pallas_call(
         functools.partial(_kernel, q_real=q, f_real=f),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t, qp), jnp.int32),
-            jax.ShapeDtypeStruct((b, t, fp), jnp.int32),
+            jax.ShapeDtypeStruct((b, t, 1, qp), jnp.int32),
+            jax.ShapeDtypeStruct((b, t, 1, fp), jnp.int32),
         ),
         grid=grid,
         in_specs=[
@@ -97,17 +100,18 @@ def dual_argmin(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, fp, dp), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fp), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, qp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, fp), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, qp), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, 1, qp), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fp), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, 1, fp), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(qf, bf, qm, bm)
 
-    return q2o[..., :q], o2q[..., :f]
+    return q2o[:, :, 0, :q], o2q[:, :, 0, :f]
