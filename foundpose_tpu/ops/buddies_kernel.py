@@ -26,28 +26,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+_BIG = 1e30
+
+
 def _kernel(q_ref, bank_ref, qmask_ref, bmask_ref, q2o_ref, o2q_ref,
             *, q_real: int, f_real: int):
     q = q_ref[0].astype(jnp.float32)  # [Qp, D]
     bank = bank_ref[0, 0].astype(jnp.float32)  # [Fp, D]
-    qmask = qmask_ref[0, 0] > 0  # [Qp]
-    bmask = bmask_ref[0, 0, 0] > 0  # [Fp]
+    qm = qmask_ref[0, 0].astype(jnp.float32)  # [Qp] 1=valid
+    bm = bmask_ref[0, 0, 0].astype(jnp.float32)  # [Fp]
 
     cross = jax.lax.dot_general(
         q, bank, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Qp, Fp]
     qn = jnp.sum(q * q, axis=-1, keepdims=True)
-    bn = jnp.sum(bank * bank, axis=-1)[None, :]
-    d = jnp.maximum(qn + bn - 2.0 * cross, 0.0)
-
-    qp, fp = d.shape
+    bn = jnp.sum(bank * bank, axis=-1, keepdims=True)  # [Fp, 1]
+    # Unclamped squared distance (argmin is invariant to the fp-noise floor).
+    qp, fp = cross.shape
+    d = qn - 2.0 * cross + bn.reshape(1, fp)
+    # Masking as additive float penalties (Mosaic-friendly; no bool
+    # broadcasts): invalid rows/cols and padding get a huge distance.
     rows = jax.lax.broadcasted_iota(jnp.int32, (qp, fp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (qp, fp), 1)
-    valid = (
-        qmask[:, None] & bmask[None, :] & (rows < q_real) & (cols < f_real)
-    )
-    d = jnp.where(valid, d, jnp.inf)
+    d = d + (1.0 - qm).reshape(qp, 1) * _BIG
+    d = d + (1.0 - bm).reshape(1, fp) * _BIG
+    d = d + jnp.where(rows < q_real, 0.0, _BIG)
+    d = d + jnp.where(cols < f_real, 0.0, _BIG)
 
     q2o_ref[0, 0, 0] = jnp.argmin(d, axis=1).astype(jnp.int32)
     o2q_ref[0, 0, 0] = jnp.argmin(d, axis=0).astype(jnp.int32)
