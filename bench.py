@@ -66,9 +66,7 @@ def main():
     # approx_topk: TPU-native buddy selection (a full lax.top_k sort costs
     # ~240 ms/batch at this size; approx selection is rank-equivalent for
     # RANSAC purposes).
-    config = inference.InferenceConfig(
-        compute_dtype=jnp.bfloat16, approx_topk=True, use_pallas_buddies=True
-    )
+    config = inference.InferenceConfig(compute_dtype=jnp.bfloat16, approx_topk=True)
     step = inference.jit_pose_from_crops(vit_cfg, config)
 
     key = jax.random.PRNGKey(1)
