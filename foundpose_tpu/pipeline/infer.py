@@ -78,6 +78,10 @@ class InferOpts:
     # TPU-native performance options.
     use_pallas_attention: bool = False
     approx_topk: bool = False
+    # Mixed-object batching: one jitted step over a stacked multi-object
+    # repre, so detections of different objects share batches
+    # (pipeline/multi_object.py; no reference counterpart).
+    multi_object: bool = False
 
     batch_size: int = 16
     save_estimates: bool = True
@@ -539,8 +543,196 @@ def infer(opts: InferOpts) -> None:
 
 def main() -> None:
     opts = config_util.load_opts(InferOpts)
-    infer(opts)
+    if opts.multi_object:
+        infer_multi_object(opts)
+    else:
+        infer(opts)
 
 
 if __name__ == "__main__":
     main()
+
+
+def run_batches_multi(
+    pending: List[PendingInstance],
+    obj_to_idx: Dict[int, int],
+    step,
+    vit_params,
+    multi_repre,
+    batch_size: int,
+) -> List[Tuple[PendingInstance, Dict[str, Any]]]:
+    """Mixed-object variant of run_batches: each crop carries its object index
+    into the stacked multi-object repre."""
+    import jax
+    import jax.numpy as jnp
+
+    results = []
+    for s in range(0, len(pending), batch_size):
+        chunk = pending[s : s + batch_size]
+        pad = batch_size - len(chunk)
+        padded = chunk + [chunk[-1]] * pad
+        crops = jnp.asarray(np.stack([p.crop_image for p in padded]))
+        masks = jnp.asarray(np.stack([p.crop_mask for p in padded]))
+        cams = jax.tree.map(lambda *x: jnp.stack(x), *[p.crop_camera for p in padded])
+        obj_idx = jnp.asarray([obj_to_idx[p.obj_id] for p in padded], dtype=jnp.int32)
+        t0 = time.perf_counter()
+        out = step(
+            vit_params, crops, masks, cams, obj_idx, multi_repre,
+            jax.random.PRNGKey(s),
+        )
+        out_np = jax.tree.map(np.asarray, out)
+        step_time = (time.perf_counter() - t0) / len(chunk)
+        for i, p in enumerate(chunk):
+            p.times["pipeline"] = step_time
+            results.append(
+                (
+                    p,
+                    {
+                        "success": bool(out_np.success[i]),
+                        "R_m2w": out_np.R_m2w[i],
+                        "t_m2w": out_np.t_m2w[i],
+                        "R_m2c": out_np.R_m2c[i],
+                        "t_m2c": out_np.t_m2c[i],
+                        "quality": float(out_np.quality[i]),
+                        "score": float(out_np.score[i]),
+                        "best_template": int(out_np.best_template[i]),
+                        "num_queries": float(out_np.num_queries[i]),
+                        "corresp_2d": out_np.best_corresp_2d[i],
+                        "corresp_3d": out_np.best_corresp_3d[i],
+                        "corresp_conf": out_np.best_corresp_conf[i],
+                        "corresp_valid": out_np.best_corresp_valid[i],
+                    },
+                )
+            )
+    return results
+
+
+def infer_multi_object(opts: InferOpts) -> None:
+    """Mixed-object inference: all objects share batches through one stacked
+    multi-object repre (pipeline/multi_object.py). One pass over the test
+    images instead of the reference's per-object loop."""
+    import jax
+
+    from foundpose_tpu.pipeline import multi_object as mo
+    from foundpose_tpu.repre import stack_repres
+
+    vit_cfg = dataclasses.replace(
+        dinov2.parse_model_name(opts.extractor_name),
+        use_pallas_attention=opts.use_pallas_attention,
+    )
+    if opts.weights_path:
+        vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
+    else:
+        logger.warning("No DINOv2 weights_path given; using random init.")
+        vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+
+    config = inference.InferenceConfig(
+        crop_size=opts.crop_size,
+        grid_cell_size=opts.grid_cell_size,
+        max_num_queries=opts.max_num_queries,
+        top_n_templates=opts.match_top_n_templates,
+        top_k_buddies=opts.match_top_k_buddies,
+        approx_topk=opts.approx_topk,
+        pnp_ransac_iter=opts.pnp_ransac_iter,
+        pnp_inlier_thresh=opts.pnp_inlier_thresh,
+        pnp_refine_lm=opts.pnp_refine_lm,
+        refine_featuremetric=opts.refine_featuremetric,
+    )
+    step = mo.jit_pose_from_crops_multi(vit_cfg, config)
+    warp_batch = make_warp_fn(opts.crop_size)
+
+    all_dets = (
+        det_mod.load_detections(opts.detections_path) if opts.use_detections else {}
+    )
+    models_info = bop.load_models_info(opts.bop_root, opts.object_dataset)
+    object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])
+
+    repres = {
+        lid: load_repre(
+            os.path.join(opts.repre_dir, opts.object_dataset, opts.repre_version,
+                         str(lid))
+        )
+        for lid in object_lids
+    }
+    multi_repre = stack_repres([repres[lid] for lid in object_lids])
+    obj_to_idx = {lid: i for i, lid in enumerate(object_lids)}
+    evaluators = {lid: EvaluatorPose([lid]) for lid in object_lids}
+
+    obj_meta = {}
+    for lid in object_lids:
+        model = bop.load_object_model(opts.bop_root, opts.object_dataset, lid)
+        info = models_info.get(lid, {})
+        syms = bop.get_symmetry_transformations(info, opts.max_sym_disc_step)
+        pts = model.vertices
+        if len(pts) > 1000:
+            pts = pts[np.linspace(0, len(pts) - 1, 1000).astype(int)]
+        obj_meta[lid] = (
+            pts,
+            np.stack([s["R"] for s in syms]).astype(np.float32),
+            np.stack([np.asarray(s["t"]).flatten() for s in syms]).astype(np.float32),
+        )
+
+    image_keys = sorted({(s, i) for (s, i, c) in all_dets if c in obj_to_idx})
+    pending: List[PendingInstance] = []
+    results: List[Tuple[PendingInstance, Dict[str, Any]]] = []
+    for scene_id, im_id in image_keys:
+        sample = bop.prepare_sample(
+            opts.bop_root, opts.object_dataset, scene_id, im_id, load_gt=True
+        )
+        for lid in object_lids:
+            dets = all_dets.get((scene_id, im_id, lid))
+            if not dets:
+                continue
+            gt_count = sum(1 for g in sample.gt if g.obj_id == lid)
+            max_preds = max(1, int(opts.num_preds_factor * max(gt_count, 1)))
+            instances = det_mod.instances_for_pose_estimation(
+                dets, max_num_preds=max_preds, crop_offset=sample.crop_offset,
+                image_size=(sample.image.shape[1], sample.image.shape[0]),
+            )
+            for det in instances:
+                evaluators[lid].detection_times[(scene_id, im_id)] = det.time
+            pending.extend(prepare_instance_crops(sample, instances, opts, warp_batch))
+        while len(pending) >= opts.batch_size:
+            results.extend(
+                run_batches_multi(pending[: opts.batch_size], obj_to_idx, step,
+                                  vit_params, multi_repre, opts.batch_size)
+            )
+            pending = pending[opts.batch_size :]
+    if pending:
+        results.extend(
+            run_batches_multi(pending, obj_to_idx, step, vit_params, multi_repre,
+                              opts.batch_size)
+        )
+    logger.info(f"{len(results)} instances processed over {len(object_lids)} objects")
+
+    for p, r in results:
+        if not r["success"]:
+            continue
+        pts, sym_r, sym_t = obj_meta[p.obj_id]
+        evaluators[p.obj_id].update(
+            scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
+            hypothesis_id=0, obj_id=p.obj_id,
+            R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
+            orig_camera_c2w=p.orig_camera,
+            score=r["score"],
+            time_per_inst=p.times,
+            R_gt_m2c=p.gt.R_m2c if p.gt else None,
+            t_gt_m2c=p.gt.t_m2c if p.gt else None,
+            model_pts=pts if p.gt else None,
+            sym_r=sym_r if p.gt else None,
+            sym_t=sym_t if p.gt else None,
+            K=np.asarray(p.orig_camera.K) if p.gt else None,
+        )
+
+    if opts.save_estimates:
+        for lid in object_lids:
+            out_dir = os.path.join(
+                opts.output_dir, opts.object_dataset, opts.version, str(lid)
+            )
+            os.makedirs(out_dir, exist_ok=True)
+            config_util.save_opts(opts, os.path.join(out_dir, "config.json"))
+            evaluators[lid].save_results_json(
+                os.path.join(out_dir, "estimated-poses.json")
+            )
+            evaluators[lid].save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
+            logger.info(f"Summary object {lid}: {evaluators[lid].summary()}")

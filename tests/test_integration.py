@@ -255,6 +255,28 @@ def test_full_framework_end_to_end(tmp_path):
     assert rot_err < 15.0, rot_err
     assert t_err < 30.0, t_err  # mm, object diameter ~80mm
 
+    # 3b. Mixed-object inference path produces consistent results.
+    mo_opts = dataclasses.replace(
+        infer_opts, multi_object=True, output_dir=str(tmp_path / "inference_mo")
+    )
+    inf.dinov2.parse_model_name = lambda name: small_cfg
+    inf.bop.DEFAULT_CROP_SIZES["demo"] = (224, 224)
+    try:
+        inf.infer_multi_object(mo_opts)
+    finally:
+        inf.dinov2.parse_model_name = orig_parse2
+        inf.bop.DEFAULT_CROP_SIZES = orig_crops
+    mo_results = json.loads(
+        (tmp_path / "inference_mo" / "demo" / "v1" / str(OBJ_ID) /
+         "estimated-poses.json").read_text()
+    )
+    assert len(mo_results) == 1
+    r_mo = np.asarray(mo_results[0]["R"], dtype=float)
+    rot_err_mo = np.degrees(
+        np.arccos(np.clip((np.trace(r_mo @ r_gt.T) - 1) / 2, -1, 1))
+    )
+    assert rot_err_mo < 15.0, rot_err_mo
+
     # 4. BOP submission CSV.
     sub_opts = bop_sub_mod.PrepareBopSubmissionOpts(
         object_dataset="demo",
