@@ -17,10 +17,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_CROPS_PER_SEC = 2.0  # assumed reference GPU pipeline (see docstring)
 
