@@ -146,3 +146,27 @@ def test_reference_infer_config_loads():
     opts = cfg_mod.from_dict(InferOpts, ref_cfg)
     assert opts.match_top_k_buddies == 300
     assert opts.crop_size == (420, 420)
+
+
+def test_shipped_configs_load():
+    """Every shipped configs/*.json must validate against its opts class."""
+    import glob
+    import os
+
+    from foundpose_tpu.pipeline.gen_repre import GenRepreOpts
+    from foundpose_tpu.pipeline.gen_templates import GenTemplatesOpts
+    from foundpose_tpu.pipeline.infer import InferOpts
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    classes = {
+        "infer": InferOpts,
+        "gen_repre": GenRepreOpts,
+        "gen_templates": GenTemplatesOpts,
+    }
+    count = 0
+    for sub, cls in classes.items():
+        for path in glob.glob(os.path.join(root, sub, "*.json")):
+            opts = cfg_mod.load_opts(cls, ["--opts-path", path])
+            assert opts.object_dataset in ("lmo", "tudl", "ycbv", "tless")
+            count += 1
+    assert count == 12
