@@ -63,6 +63,7 @@ class GenRepreOpts:
     tfidf_soft_sigma_squared: float = 10.0
 
     batch_size: int = 16
+    use_pallas_attention: bool = False
     overwrite: bool = False
 
     templates_dir: str = ""
@@ -156,7 +157,10 @@ def generate_repre(
     import jax.numpy as jnp
 
     timer = Timer(logger=logger)
-    vit_cfg = dinov2.parse_model_name(opts.extractor_name)
+    vit_cfg = dataclasses.replace(
+        dinov2.parse_model_name(opts.extractor_name),
+        use_pallas_attention=opts.use_pallas_attention,
+    )
     if vit_params is None:
         if opts.weights_path:
             vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
@@ -287,7 +291,10 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
     """CLI driver over objects. (reference: scripts/gen_repre.py:380-398)"""
     import jax
 
-    vit_cfg = dinov2.parse_model_name(opts.extractor_name)
+    vit_cfg = dataclasses.replace(
+        dinov2.parse_model_name(opts.extractor_name),
+        use_pallas_attention=opts.use_pallas_attention,
+    )
     if opts.weights_path:
         vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
     else:
