@@ -4,16 +4,18 @@ Measures the full online coarse-pose pipeline (DINOv2 ViT-S/14-reg features ->
 PCA -> tf-idf retrieval over 798 templates -> cyclic-buddy matching ->
 400-hypothesis RANSAC-PnP + LM) at the published LM-O configuration
 (reference: configs/infer/lmo.json), batched over crops, as one jitted XLA
-program.
+program. Also reports a per-stage device-time breakdown (each stage jitted
+separately) and MFU from the compiled program's XLA cost analysis.
 
-Baseline note: the reference publishes no throughput numbers (BASELINE.md).
-Its per-crop wall time is dominated by Python loops, faiss CPU round-trips,
-and cv2 PnP on top of a single-crop GPU ViT forward; stage timers in the
-reference log ~0.4-0.6 s/crop on a datacenter GPU => ~2 crops/sec is the
-assumed reference throughput used for `vs_baseline` until a measured number
-replaces it (tracked in BASELINE.md).
+Baseline: the reference publishes no throughput numbers. The denominator is
+MEASURED by benchmarks/reference_baseline.py — a faiss-free structural replica
+of the reference per-instance loop (torch ViT-S forward, sklearn brute kNN in
+place of faiss flat, sklearn PCA, cv2 solvePnPRansac+LM) — then adjusted IN
+THE REFERENCE'S FAVOR for hardware it assumes but this host lacks (GPU ViT at
+8 ms/crop, 8-core CPU with perfect BLAS scaling). Methodology + raw numbers:
+BASELINE.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -25,10 +27,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REFERENCE_CROPS_PER_SEC = 2.0  # assumed reference GPU pipeline (see docstring)
+# Measured by benchmarks/reference_baseline.py on 2026-08-16 (see BASELINE.md):
+# 0.412 crops/sec raw on this 1-core host; 18.85 crops/sec after
+# reference-favoring hardware adjustment. We use the adjusted (higher) figure.
+REFERENCE_CROPS_PER_SEC = 18.85
+
+# TPU v5e peak: 197 TFLOP/s bf16 per chip.
+PEAK_FLOPS = {"v5e": 197e12}.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -36,8 +46,7 @@ def main():
     from foundpose_tpu.models import dinov2
     from foundpose_tpu.pipeline import inference
     from foundpose_tpu.structs import PinholeCamera
-
-    import dataclasses
+    from foundpose_tpu.utils.profiling import device_time_scan, force_execution
 
     rng = np.random.default_rng(0)
     vit_cfg = dataclasses.replace(
@@ -68,45 +77,154 @@ def main():
     )
     # approx_topk: TPU-native buddy selection (a full lax.top_k sort costs
     # ~240 ms/batch at this size; approx selection is rank-equivalent for
-    # RANSAC purposes).
+    # RANSAC purposes — AR-level equivalence tested in
+    # tests/test_fastpath_ar.py).
     config = inference.InferenceConfig(compute_dtype=jnp.bfloat16, approx_topk=True)
     step = inference.jit_pose_from_crops(vit_cfg, config)
 
     key = jax.random.PRNGKey(1)
+    n_iters = 8
+
+    # The timed loop runs ON DEVICE: n_iters sequentially-dependent steps
+    # inside one lax.scan program (each step's input is perturbed by the
+    # previous step's checksummed outputs, so nothing can be elided), with a
+    # single terminal scalar fetch. A Python-side loop would instead measure
+    # the tunneled dev backend's ~100 ms/dispatch host round trip, which no
+    # production serving path pays (steps there are dispatched asynchronously).
+    @jax.jit
+    def run_n(p, c, m, cam, r, k):
+        def body(carry, ki):
+            c_in = c + (carry * 1e-30).astype(c.dtype)
+            out = inference.pose_from_crops(p, vit_cfg, c_in, m, cam, r, ki, config)
+            chk = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(out):
+                chk = chk + jnp.sum(leaf.astype(jnp.float32)) * jnp.float32(1e-30)
+            chk = jnp.where(jnp.isfinite(chk), chk, jnp.float32(0.0))
+            return carry + chk, ()
+
+        ks = jax.random.split(k, n_iters)
+        final, _ = jax.lax.scan(body, jnp.float32(0.0), ks)
+        return final
+
     # Warmup / compile. NOTE: some backends (axon tunnel) defer execution
     # until a device->host fetch, so warmup and timing must both end with a
-    # scalar fetch; steps are chained through a data dependency so the timed
-    # region provably executes all of them.
-    out = step(params, crops, masks, cameras, repre, key)
-    _ = float(jnp.sum(out.quality))
+    # scalar fetch.
+    _ = float(run_n(params, crops, masks, cameras, repre, key))
 
-    n_iters = 8
-    start = time.perf_counter()
-    carry = jnp.float32(0.0)
-    for i in range(n_iters):
-        out = step(
-            params, crops + carry * 0.0, masks, cameras, repre, jax.random.PRNGKey(i)
-        )
-        carry = jnp.sum(out.quality)
-    _ = float(carry)
-    elapsed = time.perf_counter() - start
-
+    elapsed = float("inf")
+    for rep in range(3):
+        start = time.perf_counter()
+        _ = float(run_n(params, crops, masks, cameras, repre, jax.random.PRNGKey(rep)))
+        elapsed = min(elapsed, time.perf_counter() - start)
+    sec_per_step = elapsed / n_iters
     crops_per_sec = batch * n_iters / elapsed
+
+    # ---- FLOPs & MFU --------------------------------------------------------
+    # XLA cost_analysis does not count FLOPs inside Pallas custom calls (the
+    # fused attention), so the honest count is analytic for the dominant
+    # matmul stages + cost_analysis as a lower-bound cross-check.
+    def analytic_flops_per_crop():
+        d = vit_cfg.embed_dim
+        h = int(d * vit_cfg.mlp_ratio)
+        grid = config.crop_size[0] // vit_cfg.patch_size
+        n_tok = grid * grid + 1 + vit_cfg.num_register_tokens
+        layers = vit_cfg.layer + 1  # truncated forward up to the facet layer
+        patch_macs = grid * grid * 3 * vit_cfg.patch_size**2 * d
+        layer_macs = n_tok * (4 * d * d + 2 * d * h) + 2 * n_tok * n_tok * d
+        vit = patch_macs + layers * layer_macs
+        q = grid * grid  # query points
+        pca_in = repre.raw_projector.components.shape[1]
+        pca_out = repre.raw_projector.components.shape[0]
+        nw = repre.word_centroids.shape[0]
+        retrieval = q * pca_in * pca_out + q * nw * pca_out
+        fmax = repre.bank_feats.shape[1]
+        buddies = config.top_n_templates * 2 * q * fmax * pca_out
+        return 2 * (vit + retrieval + buddies)  # MAC -> FLOP
+
+    step_flops = analytic_flops_per_crop() * batch
+    mfu = step_flops / sec_per_step / PEAK_FLOPS
+    ca_flops = None
+    try:
+        compiled = jax.jit(
+            lambda p, c, m, cam, r, k: inference.pose_from_crops(
+                p, vit_cfg, c, m, cam, r, k, config
+            )
+        ).lower(params, crops, masks, cameras, repre, key).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        ca_flops = float(ca.get("flops", 0.0))
+    except Exception as e:  # cost_analysis is backend-dependent
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+
+    # ---- per-stage device timings (each stage as its own XLA program) ------
+    @jax.jit
+    def vit_fn(p, c):
+        images = dinov2.normalize_images(c).astype(config.compute_dtype)
+        o = dinov2.extract_facet(p, vit_cfg, images)
+        return o["feature_maps"].astype(jnp.float32)
+
+    @jax.jit
+    def retrieve_fn(fmaps, m, r, keys):
+        return inference.retrieve_batch(fmaps, m, r, keys, config)
+
+    @jax.jit
+    def match_fn(feats, valid, tids, tscores, r):
+        return inference.match_batch(feats, valid, tids, tscores, r, config)
+
+    @jax.jit
+    def solve_fn(fmaps, valid, tids, tscores, cors, cam, r, keys):
+        return inference.solve_batch(
+            fmaps, valid, tids, tscores, cors, cam, r, keys, config
+        )
+
+    keys2 = jax.random.split(key, 2 * batch)
+    sub_keys, crop_keys = keys2[:batch], keys2[batch:]
+    fmaps = vit_fn(params, crops)
+    feats_b, valid_b, tids_b, tscores_b = retrieve_fn(fmaps, masks, repre, sub_keys)
+    cors_b = match_fn(feats_b, valid_b, tids_b, tscores_b, repre)
+    force_execution((fmaps, feats_b, cors_b))
+
+    # Pure device time per stage (scan-differenced: fixed dispatch/transfer
+    # costs of the tunneled backend cancel out; see profiling.device_time_scan).
+    stages = {
+        "vit": device_time_scan(lambda c, p: vit_fn(p, c), crops, params),
+        "retrieval": device_time_scan(retrieve_fn, fmaps, masks, repre, sub_keys),
+        "buddies": device_time_scan(
+            match_fn, feats_b, valid_b, tids_b, tscores_b, repre
+        ),
+        "pnp_select": device_time_scan(
+            solve_fn, fmaps, valid_b, tids_b, tscores_b, cors_b, cameras, repre,
+            crop_keys,
+        ),
+    }
+    stage_ms = {k: round(v * 1000, 2) for k, v in stages.items()}
+    device_sec_per_step = sum(stages.values())
+    device_crops_per_sec = batch / device_sec_per_step
+
     print(
         f"[bench] {batch=} {n_iters=} elapsed={elapsed:.3f}s "
-        f"-> {crops_per_sec:.2f} crops/sec",
+        f"-> {crops_per_sec:.2f} crops/sec (scan-loop wall, one dispatch); "
+        f"device-only {device_crops_per_sec:.2f} crops/sec; "
+        f"stage ms/batch: {stage_ms}; analytic flops/step={step_flops:.3g} "
+        f"(cost_analysis lower bound: {ca_flops}); mfu={mfu:.4f}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "lmo_coarse_pose_crops_per_sec_per_chip",
-                "value": round(crops_per_sec, 2),
-                "unit": "crops/sec",
-                "vs_baseline": round(crops_per_sec / REFERENCE_CROPS_PER_SEC, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "lmo_coarse_pose_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/sec",
+        "vs_baseline": round(crops_per_sec / REFERENCE_CROPS_PER_SEC, 2),
+        "baseline_crops_per_sec": REFERENCE_CROPS_PER_SEC,
+        "baseline_method": "measured replica, reference-favoring (BASELINE.md)",
+        "batch": batch,
+        "device_crops_per_sec": round(device_crops_per_sec, 2),
+        "stage_ms_per_batch": stage_ms,
+        "mfu": round(mfu, 4),
+        "flops_per_step_analytic": step_flops,
+        "flops_per_step_cost_analysis": ca_flops,
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -135,28 +135,20 @@ def query_features_from_map(
     return points, feats, valid
 
 
-def pose_from_features(
+def retrieve_batch(
     feature_maps: Array,
     masks: Array,
-    cameras: PinholeCamera,
     repre: ObjectRepre,
-    key: Array,
+    sub_keys: Array,
     config: InferenceConfig,
-) -> PoseOutputs:
-    """Retrieval + matching + PnP for a batch of crop feature maps.
+) -> Tuple[Array, Array, Array, Array]:
+    """Stage A (vmapped over crops): query features + PCA + tf-idf retrieval.
 
-    Args:
-        feature_maps: [B, Hf, Wf, D_raw].
-        masks: [B, H, W] modal masks in crop space.
-        cameras: batched crop cameras (leading dim B).
-        repre: object representation (device-resident).
-        key: PRNG key (hypothesis sampling).
+    Returns (feats [B, Q, D], valid [B, Q] bool, template_ids [B, N],
+    template_scores [B, N]).
     """
-    b = feature_maps.shape[0]
     cdt = config.compute_dtype
-    grid_pts = sampling.grid_points(config.crop_size, config.grid_cell_size)
 
-    # ---- stage A (vmapped): query features + PCA + retrieval ---------------
     def retrieve_crop(fmap, mask, crop_key):
         points, feats, valid = query_features_from_map(
             fmap, mask, config.crop_size, config.grid_cell_size
@@ -185,14 +177,22 @@ def pose_from_features(
         )
         return feats, valid, template_ids, template_scores
 
-    keys = jax.random.split(key, 2 * b)
-    sub_keys, crop_keys = keys[:b], keys[b:]
-    feats_b, valid_b, template_ids_b, template_scores_b = jax.vmap(retrieve_crop)(
-        feature_maps, masks, sub_keys
-    )
+    return jax.vmap(retrieve_crop)(feature_maps, masks, sub_keys)
 
-    # ---- batched cyclic buddies (one fused Pallas kernel when enabled) -----
-    cors_b = corresp_mod.establish_correspondences_batch(
+
+def match_batch(
+    feats_b: Array,
+    valid_b: Array,
+    template_ids_b: Array,
+    template_scores_b: Array,
+    repre: ObjectRepre,
+    config: InferenceConfig,
+):
+    """Stage B: batched cyclic-buddy matching against the retrieved templates
+    (one fused Pallas kernel when enabled)."""
+    cdt = config.compute_dtype
+    grid_pts = sampling.grid_points(config.crop_size, config.grid_cell_size)
+    return corresp_mod.establish_correspondences_batch(
         grid_pts,
         feats_b,
         valid_b,
@@ -206,7 +206,22 @@ def pose_from_features(
         use_pallas=config.use_pallas_buddies,
     )
 
-    # ---- stage B (vmapped): RANSAC + refinement + selection ----------------
+
+def solve_batch(
+    feature_maps: Array,
+    valid_b: Array,
+    template_ids_b: Array,
+    template_scores_b: Array,
+    cors_b,
+    cameras: PinholeCamera,
+    repre: ObjectRepre,
+    crop_keys: Array,
+    config: InferenceConfig,
+) -> PoseOutputs:
+    """Stage C (vmapped over crops): RANSAC-PnP + LM + best-hypothesis
+    selection + world-frame conversion."""
+    cdt = config.compute_dtype
+
     def per_crop(fmap, valid, template_ids, template_scores, cors, cam_f,
                  cam_c, crop_key):
         validf = valid.astype(cdt)
@@ -333,6 +348,43 @@ def pose_from_features(
         best_corresp_3d=best_c3d,
         best_corresp_conf=best_conf,
         best_corresp_valid=best_cvalid,
+    )
+
+
+def pose_from_features(
+    feature_maps: Array,
+    masks: Array,
+    cameras: PinholeCamera,
+    repre: ObjectRepre,
+    key: Array,
+    config: InferenceConfig,
+) -> PoseOutputs:
+    """Retrieval + matching + PnP for a batch of crop feature maps.
+
+    Composes the three stage functions (retrieve_batch / match_batch /
+    solve_batch); they are exposed separately so benchmarks can time each
+    stage as its own XLA program.
+
+    Args:
+        feature_maps: [B, Hf, Wf, D_raw].
+        masks: [B, H, W] modal masks in crop space.
+        cameras: batched crop cameras (leading dim B).
+        repre: object representation (device-resident).
+        key: PRNG key (hypothesis sampling).
+    """
+    b = feature_maps.shape[0]
+    keys = jax.random.split(key, 2 * b)
+    sub_keys, crop_keys = keys[:b], keys[b:]
+
+    feats_b, valid_b, template_ids_b, template_scores_b = retrieve_batch(
+        feature_maps, masks, repre, sub_keys, config
+    )
+    cors_b = match_batch(
+        feats_b, valid_b, template_ids_b, template_scores_b, repre, config
+    )
+    return solve_batch(
+        feature_maps, valid_b, template_ids_b, template_scores_b, cors_b,
+        cameras, repre, crop_keys, config,
     )
 
 

@@ -43,6 +43,72 @@ def force_execution(tree) -> float:
     return float(acc)
 
 
+def device_time_scan(
+    fn: Callable, *args, iters: int = 8, repeats: int = 3
+) -> float:
+    """Seconds per call of `fn(*args)`, measured as pure device time.
+
+    Runs `iters` sequentially-dependent applications of `fn` inside ONE jitted
+    `lax.scan` program (a scalar carry perturbs the first float input and is
+    updated from the output, so iterations can neither be CSE'd nor hoisted),
+    and differences against a length-1 program: per-call time =
+    (t_iters - t_1) / (iters - 1). This cancels fixed dispatch/transfer/fetch
+    costs, which dominate wall-clock on tunneled backends where every program
+    launch is a host round trip.
+    """
+    leaves, _ = jax.tree.flatten(args)
+    idx = next(
+        (
+            i
+            for i, l in enumerate(leaves)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
+        ),
+        None,
+    )
+    if idx is None:
+        raise ValueError("device_time_scan needs at least one float array arg")
+
+    def make(length: int):
+        @jax.jit
+        def many(*a):
+            lv, td = jax.tree.flatten(a)
+
+            def body(carry, _):
+                lv2 = list(lv)
+                lv2[idx] = lv[idx] + (carry * 1e-30).astype(lv[idx].dtype)
+                out = fn(*jax.tree.unflatten(td, lv2))
+                # The carry must consume EVERY output leaf in full, or XLA
+                # dead-code-eliminates (or slices down) the unconsumed
+                # computations inside the scan body.
+                c = carry
+                for leaf in jax.tree.leaves(out):
+                    c = c + jnp.sum(leaf.astype(jnp.float32)) * jnp.float32(1e-30)
+                # A NaN checksum would poison the next iteration's input.
+                c = jnp.where(jnp.isfinite(c), c, jnp.float32(0.0))
+                return c, ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
+            return c
+
+        return many
+
+    f1, fk = make(1), make(iters)
+    # Compile + warm both programs outside the timed region.
+    force_execution(f1(*args))
+    force_execution(fk(*args))
+
+    def measure(f):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            force_execution(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tk = measure(f1), measure(fk)
+    return max(tk - t1, 0.0) / (iters - 1)
+
+
 def device_time(
     fn: Callable, *args, iters: int = 5, warmup: int = 1, chain: bool = True
 ) -> float:
