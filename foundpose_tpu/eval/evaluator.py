@@ -5,8 +5,14 @@ Host-side re-design of the reference `EvaluatorPose`
 ratios) run batched on-device via `eval/errors.py`; this module accumulates
 per-estimate records and writes `estimated-poses.json` files with the same
 field names as the reference (so `prepare_bop_submission` consumers are
-interchangeable) plus the BOP19 submission CSV
+interchangeable), the per-object TSV metric tables
+(reference: utils/eval_util.py:400-516), plus the BOP19 submission CSV
 (reference: scripts/prepare_bop_submission.py:64-99).
+
+Per-estimate accumulators (reference: utils/eval_util.py:26-229):
+MSSD, MSPD, diameter-normalized MSSD, inlier counts and many-to-many-aware
+inlier ratios vs GT and vs estimate, per-vertex point errors, rotation /
+translation errors, detection mask IoU, retrieved-template orientation error.
 """
 
 from __future__ import annotations
@@ -27,6 +33,37 @@ def _tolist(x):
     return np.asarray(x).tolist()
 
 
+def _j(x, dtype=jnp.float32):
+    return jnp.asarray(np.asarray(x), dtype=dtype)
+
+
+def _project_points(r: np.ndarray, t: np.ndarray, pts: np.ndarray,
+                    f: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Pinhole projection of model points under [R|t] (numpy, host-side)."""
+    cam = pts @ r.T + t
+    z = np.where(np.abs(cam[:, 2:3]) < 1e-9, 1e-9, cam[:, 2:3])
+    return cam[:, :2] / z * f + c
+
+
+def many_to_many_inlier_ratio(
+    dist: np.ndarray, coord_2d_ids: np.ndarray, valid: np.ndarray,
+    inlier_radius: float,
+) -> float:
+    """Fraction of unique query points with >=1 correspondence within the
+    radius — the reference's many-to-many-aware inlier ratio
+    (reference: utils/eval_util.py:126-150, vectorized)."""
+    ids = coord_2d_ids[valid].astype(np.int64)
+    if ids.size == 0:
+        return 0.0
+    d = dist[valid]
+    n = int(ids.max()) + 1
+    present = np.zeros(n, bool)
+    present[ids] = True
+    hit = np.zeros(n, bool)
+    hit[ids[d <= inlier_radius]] = True
+    return float(hit.sum() / max(present.sum(), 1))
+
+
 @dataclasses.dataclass
 class PoseRecord:
     scene_id: int
@@ -40,14 +77,20 @@ class PoseRecord:
     time: Dict[str, float]
     mssd: Optional[float] = None
     mspd: Optional[float] = None
+    mssd_n: Optional[float] = None  # MSSD / object diameter
     rotation_err_deg: Optional[float] = None
     translation_err: Optional[float] = None
     inliers_est: Optional[int] = None
     inliers_gt: Optional[int] = None
+    inliers_est_err: Optional[Dict[str, float]] = None  # many-to-many ratio
+    inliers_gt_err: Optional[Dict[str, float]] = None
+    mask_iou: Optional[float] = None
+    template_ori_err_deg: Optional[float] = None
+    point_errors: Optional[np.ndarray] = None  # per-vertex distances
 
 
 class EvaluatorPose:
-    """Accumulates pose estimates for one object across a test split."""
+    """Accumulates pose estimates for one or more objects across a test split."""
 
     def __init__(self, obj_ids: Sequence[int]):
         self.obj_ids = list(obj_ids)
@@ -74,11 +117,23 @@ class EvaluatorPose:
         sym_r: Optional[np.ndarray] = None,
         sym_t: Optional[np.ndarray] = None,
         K: Optional[np.ndarray] = None,
+        camera_c2w: Optional[PinholeCamera] = None,
+        corresp: Optional[Dict[str, np.ndarray]] = None,
+        pred_mask: Optional[np.ndarray] = None,
+        gt_mask: Optional[np.ndarray] = None,
+        object_diameter: Optional[float] = None,
+        retrieved_template_R_m2c: Optional[np.ndarray] = None,
+        mask_iou: Optional[float] = None,
+        inlier_radius: float = 10.0,
     ) -> PoseRecord:
         """Registers one estimate; computes GT errors when GT is provided.
 
         The world-frame pose is re-expressed in the original camera (the frame
-        BOP expects), reference: utils/eval_util.py:247-255.
+        BOP expects), reference: utils/eval_util.py:247-255. When `camera_c2w`
+        (the crop camera) and `corresp` (coord_2d [K,2], coord_2d_ids [K],
+        coord_3d [K,3], valid [K]) are given, inlier counts and many-to-many
+        inlier ratios vs the estimate (and vs GT if available) are computed in
+        the crop camera, matching reference: utils/eval_util.py:107-150.
         """
         t_w2oc = np.linalg.inv(np.asarray(orig_camera_c2w.T_world_from_eye))
         m2w = np.eye(4)
@@ -99,42 +154,95 @@ class EvaluatorPose:
             t_m2c_orig=t_est,
             time=dict(time_per_inst),
         )
-        if R_gt_m2c is not None and model_pts is not None:
+
+        have_gt = R_gt_m2c is not None
+        t_gt_flat = np.asarray(t_gt_m2c).flatten() if have_gt else None
+        rkey = str(int(inlier_radius))
+
+        # -- correspondence-space inliers in the crop camera ------------------
+        if camera_c2w is not None and corresp is not None:
+            t_w2c = np.linalg.inv(np.asarray(camera_c2w.T_world_from_eye))
+            m2c = t_w2c @ m2w
+            f = np.asarray(camera_c2w.f, dtype=np.float64)
+            c = np.asarray(camera_c2w.c, dtype=np.float64)
+            c2d = np.asarray(corresp["coord_2d"], dtype=np.float64)
+            c3d = np.asarray(corresp["coord_3d"], dtype=np.float64)
+            ids = np.asarray(corresp["coord_2d_ids"])
+            valid = np.asarray(corresp["valid"]).astype(bool)
+
+            proj_est = _project_points(m2c[:3, :3], m2c[:3, 3], c3d, f, c)
+            dist_est = np.linalg.norm(proj_est - c2d, axis=1)
+            rec.inliers_est = int(np.sum((dist_est <= inlier_radius) & valid))
+            rec.inliers_est_err = {
+                rkey: many_to_many_inlier_ratio(dist_est, ids, valid, inlier_radius)
+            }
+            if have_gt:
+                proj_gt = _project_points(
+                    np.asarray(R_gt_m2c, dtype=np.float64), t_gt_flat, c3d, f, c
+                )
+                dist_gt = np.linalg.norm(proj_gt - c2d, axis=1)
+                rec.inliers_gt = int(np.sum((dist_gt <= inlier_radius) & valid))
+                rec.inliers_gt_err = {
+                    rkey: many_to_many_inlier_ratio(dist_gt, ids, valid, inlier_radius)
+                }
+
+        # -- GT pose errors ----------------------------------------------------
+        if have_gt and model_pts is not None:
             sr = sym_r if sym_r is not None else np.eye(3)[None]
             st = sym_t if sym_t is not None else np.zeros((1, 3))
+            # GT errors compare poses in the crop camera in the reference
+            # (eval_util.py:99-105); both poses transform by the same rigid
+            # w2c, under which MSSD/point/rotation/translation errors are
+            # invariant, so the original-camera frame is used throughout.
             rec.mssd = float(
                 err_mod.mssd(
-                    jnp.asarray(r_est, dtype=jnp.float32),
-                    jnp.asarray(t_est, dtype=jnp.float32),
-                    jnp.asarray(R_gt_m2c, dtype=jnp.float32),
-                    jnp.asarray(np.asarray(t_gt_m2c).flatten(), dtype=jnp.float32),
-                    jnp.asarray(model_pts, dtype=jnp.float32),
-                    jnp.asarray(sr, dtype=jnp.float32),
-                    jnp.asarray(st, dtype=jnp.float32),
+                    _j(r_est), _j(t_est), _j(R_gt_m2c), _j(t_gt_flat),
+                    _j(model_pts), _j(sr), _j(st),
                 )[0]
             )
+            if object_diameter:
+                rec.mssd_n = rec.mssd / float(object_diameter)
             if K is not None:
                 rec.mspd = float(
                     err_mod.mspd(
-                        jnp.asarray(r_est, dtype=jnp.float32),
-                        jnp.asarray(t_est, dtype=jnp.float32),
-                        jnp.asarray(R_gt_m2c, dtype=jnp.float32),
-                        jnp.asarray(np.asarray(t_gt_m2c).flatten(), dtype=jnp.float32),
-                        jnp.asarray(K, dtype=jnp.float32),
-                        jnp.asarray(model_pts, dtype=jnp.float32),
-                        jnp.asarray(sr, dtype=jnp.float32),
-                        jnp.asarray(st, dtype=jnp.float32),
+                        _j(r_est), _j(t_est), _j(R_gt_m2c), _j(t_gt_flat),
+                        _j(K), _j(model_pts), _j(sr), _j(st),
                     )[0]
                 )
             rec.rotation_err_deg = float(
-                err_mod.rotation_error_deg(
-                    jnp.asarray(r_est, dtype=jnp.float32),
-                    jnp.asarray(R_gt_m2c, dtype=jnp.float32),
-                )
+                err_mod.rotation_error_deg(_j(r_est), _j(R_gt_m2c))
             )
-            rec.translation_err = float(
-                np.linalg.norm(t_est - np.asarray(t_gt_m2c).flatten())
+            rec.translation_err = float(np.linalg.norm(t_est - t_gt_flat))
+            # Per-vertex point errors (frame-invariant; reference
+            # eval_util.py:164-167 "Object DPE metrics").
+            pts = np.asarray(model_pts, dtype=np.float64)
+            pe = np.linalg.norm(
+                (pts @ r_est.T + t_est)
+                - (pts @ np.asarray(R_gt_m2c, dtype=np.float64).T + t_gt_flat),
+                axis=-1,
             )
+            rec.point_errors = pe.astype(np.float32)
+            # Orientation error of the best retrieved template
+            # (reference: eval_util.py:175-188).
+            if retrieved_template_R_m2c is not None:
+                r_gt = np.asarray(R_gt_m2c, dtype=np.float64)
+                errs = []
+                for r_tpl in np.asarray(retrieved_template_R_m2c).reshape(-1, 3, 3):
+                    for s_i in np.asarray(sr).reshape(-1, 3, 3):
+                        r_gt_sym = r_gt @ s_i
+                        cosang = np.clip(
+                            (np.trace(r_tpl @ r_gt_sym.T) - 1) / 2, -1, 1
+                        )
+                        errs.append(np.degrees(np.arccos(cosang)))
+                rec.template_ori_err_deg = float(min(errs))
+
+        if mask_iou is not None:
+            rec.mask_iou = float(mask_iou)
+        elif pred_mask is not None and gt_mask is not None:
+            rec.mask_iou = float(
+                err_mod.mask_iou(_j(pred_mask), _j(gt_mask))
+            )
+
         self.records.append(rec)
         return rec
 
@@ -158,29 +266,121 @@ class EvaluatorPose:
                 "time": rec.time,
                 "cnos_time": cnos_time,
             }
+            # Reference field names (eval_util.py:336-352).
             if rec.mssd is not None:
                 item["mssd"] = rec.mssd
             if rec.mspd is not None:
                 item["mspd"] = rec.mspd
+            if rec.mssd_n is not None:
+                item["mssd_n"] = rec.mssd_n
+            if rec.inliers_gt is not None:
+                item["inliers_gt"] = rec.inliers_gt
+            if rec.inliers_est is not None:
+                item["inliers_est"] = rec.inliers_est
+            if rec.inliers_gt_err is not None:
+                item["inliers_gt_err"] = rec.inliers_gt_err
+            if rec.inliers_est_err is not None:
+                item["inliers_est_err"] = rec.inliers_est_err
+            if rec.mask_iou is not None:
+                item["mask_iou"] = rec.mask_iou
             out.append(item)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(out, f)
 
     def summary(self) -> Dict[str, float]:
-        """Aggregate metric table (reference TSV tables: eval_util.py:400-516)."""
+        """Aggregate metric dict (mean/median per metric)."""
         recs = self.records
         out: Dict[str, float] = {"num_estimates": float(len(recs))}
-        for field in ["mssd", "mspd", "rotation_err_deg", "translation_err", "score"]:
+        for field in [
+            "mssd", "mspd", "mssd_n", "rotation_err_deg", "translation_err",
+            "score", "mask_iou", "template_ori_err_deg",
+        ]:
             vals = [getattr(r, field) for r in recs if getattr(r, field) is not None]
             if vals:
                 out[f"{field}_mean"] = float(np.mean(vals))
                 out[f"{field}_median"] = float(np.median(vals))
+        for field in ["inliers_est_err", "inliers_gt_err"]:
+            vals = [
+                list(getattr(r, field).values())[0]
+                for r in recs
+                if getattr(r, field) is not None
+            ]
+            if vals:
+                out[f"{field}_mean"] = float(np.mean(vals))
         return out
 
+    def save_metrics(self, path: str, inlier_thresh: float = 10.0) -> None:
+        """Writes the run-level TSV metric table with per-object columns and
+        p50/p95 error percentiles, mirroring the reference table layout
+        (reference: utils/eval_util.py:400-516):
+
+        rows = mssd, mssd_n, mspd, inliers_gt, inliers_est, Point_p50/p95,
+        Rot_p50/p95, Trans_p50/p95, Tpl_ori_err, mask_iou, num_obj;
+        columns = overall, pmean (per-class mean), one column per object.
+        """
+        from tabulate import tabulate
+
+        rkey = str(int(inlier_thresh))
+        recs = self.records
+
+        def col(r_list, fn):
+            vals = [fn(r) for r in r_list]
+            vals = [v for v in vals if v is not None]
+            return vals
+
+        def agg(vals, how="mean", q=None):
+            if not vals:
+                return float("nan")
+            arr = (
+                np.concatenate([np.atleast_1d(np.asarray(v)) for v in vals])
+                if isinstance(vals[0], np.ndarray)
+                else np.asarray(vals, dtype=np.float64)
+            )
+            if how == "pct":
+                return float(np.nanpercentile(arr, q))
+            return float(np.nanmean(arr))
+
+        metrics = [
+            ("mssd", lambda r: r.mssd, "mean", None),
+            ("mssd_n", lambda r: r.mssd_n, "mean", None),
+            ("mspd", lambda r: r.mspd, "mean", None),
+            ("inliers_gt", lambda r: (r.inliers_gt_err or {}).get(rkey), "mean", None),
+            ("inliers_est", lambda r: (r.inliers_est_err or {}).get(rkey), "mean", None),
+            ("Point_p50", lambda r: r.point_errors, "pct", 50),
+            ("Point_p95", lambda r: r.point_errors, "pct", 95),
+            ("Rot_p50", lambda r: r.rotation_err_deg, "pct", 50),
+            ("Rot_p95", lambda r: r.rotation_err_deg, "pct", 95),
+            ("Trans_p50", lambda r: r.translation_err, "pct", 50),
+            ("Trans_p95", lambda r: r.translation_err, "pct", 95),
+            ("Tpl_ori_err", lambda r: r.template_ori_err_deg, "mean", None),
+            ("mask_iou", lambda r: r.mask_iou, "mean", None),
+        ]
+
+        per_obj_recs = {o: [r for r in recs if r.obj_id == o] for o in self.obj_ids}
+        header = ["", "overall", "pmean"] + [str(o) for o in self.obj_ids]
+        table = []
+        for name, fn, how, q in metrics:
+            per_class = [agg(col(per_obj_recs[o], fn), how, q) for o in self.obj_ids]
+            overall = agg(col(recs, fn), how, q)
+            pmean = float(np.nanmean(per_class)) if per_class else float("nan")
+            table.append([name, overall, pmean] + per_class)
+        table.append(
+            ["num_obj", len(recs), float(np.mean([len(v) for v in per_obj_recs.values()]))]
+            + [len(per_obj_recs[o]) for o in self.obj_ids]
+        )
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(
+                tabulate(
+                    table, headers=header, tablefmt="tsv", floatfmt=".2f",
+                    numalign=None, stralign=None,
+                )
+            )
+
     def save_metrics_tsv(self, path: str) -> None:
-        """Writes the per-object metric table as TSV
-        (reference: utils/eval_util.py:400-516 tabulate tables)."""
+        """Writes the aggregate summary() dict as a two-column TSV."""
         from tabulate import tabulate
 
         s = self.summary()

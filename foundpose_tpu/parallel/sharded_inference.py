@@ -209,7 +209,8 @@ def make_sharded_step(
                 results.success[best], r_best, t_best,
                 quality[best], score, template_ids, template_scores,
                 template_ids[best], results.quality, jnp.sum(validf),
-                c2d[best], c3d[best], cconf[best], cvalid[best],
+                c2d[best], c2d_ids[best], c3d[best], cconf[best],
+                cvalid[best],
             )
 
         return jax.vmap(one)(fmaps, masks, cam_f, cam_c, keys)
@@ -244,7 +245,7 @@ def make_sharded_step(
         )
         (success, r_m2c, t_m2c, quality, score, template_ids, template_scores,
          best_template, per_tpl_quality, num_queries,
-         best_c2d, best_c3d, best_conf, best_cvalid) = shard_fn(
+         best_c2d, best_c2d_ids, best_c3d, best_conf, best_cvalid) = shard_fn(
             vit_params, crops, masks, cameras.f, cameras.c, repre_arrays, key
         )
         m2c = geometry.as_4x4_rt(r_m2c, t_m2c)
@@ -257,7 +258,8 @@ def make_sharded_step(
             quality=quality, score=score, template_ids=template_ids,
             template_scores=template_scores, best_template=best_template,
             per_template_quality=per_tpl_quality, num_queries=num_queries,
-            best_corresp_2d=best_c2d, best_corresp_3d=best_c3d,
+            best_corresp_2d=best_c2d, best_corresp_2d_ids=best_c2d_ids,
+            best_corresp_3d=best_c3d,
             best_corresp_conf=best_conf, best_corresp_valid=best_cvalid,
         )
 

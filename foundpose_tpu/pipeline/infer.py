@@ -118,6 +118,9 @@ class PendingInstance:
     crop_mask: np.ndarray
     gt: Optional[bop.GtAnnotation]
     times: Dict[str, float]
+    # Detection-vs-GT visible-mask IoU in the original image (reference
+    # accumulates mask IoU per estimate, utils/eval_util.py:170-190).
+    mask_iou: Optional[float] = None
 
 
 def make_warp_fn(crop_size: Tuple[int, int]):
@@ -210,12 +213,19 @@ def prepare_instance_crops(
     out = []
     for i, det in enumerate(kept):
         gt = None
+        mask_iou = None
         if sample.gt:
             gt_boxes = [g.box_amodal for g in sample.gt if g.obj_id == det.obj_id]
             idx = det_mod.associate_gt_by_iou(det.box_xyxy, gt_boxes)
             matching = [g for g in sample.gt if g.obj_id == det.obj_id]
             if idx >= 0:
                 gt = matching[idx]
+                if det.mask is not None and gt.mask_visib is not None:
+                    m1 = det.mask > 0
+                    m2 = gt.mask_visib > 0
+                    union = np.logical_or(m1, m2).sum()
+                    if union > 0:
+                        mask_iou = float(np.logical_and(m1, m2).sum() / union)
         out.append(
             PendingInstance(
                 scene_id=sample.scene_id,
@@ -230,6 +240,7 @@ def prepare_instance_crops(
                 crop_mask=crop_masks[i],
                 gt=gt,
                 times={"prep": prep_time},
+                mask_iou=mask_iou,
             )
         )
     return out
@@ -275,7 +286,9 @@ def run_batches(
                         "score": float(out_np.score[i]),
                         "best_template": int(out_np.best_template[i]),
                         "num_queries": float(out_np.num_queries[i]),
+                        "template_ids": out_np.template_ids[i],
                         "corresp_2d": out_np.best_corresp_2d[i],
+                        "corresp_2d_ids": out_np.best_corresp_2d_ids[i],
                         "corresp_3d": out_np.best_corresp_3d[i],
                         "corresp_conf": out_np.best_corresp_conf[i],
                         "corresp_valid": out_np.best_corresp_valid[i],
@@ -301,9 +314,14 @@ def save_visualization(
     from foundpose_tpu.vis import inference_vis
 
     est_mask = None
+    pose_overlay = None
     if renderer is not None:
         est_mask = inference_vis.render_pose_mask(
             renderer, obj_id, p.crop_camera, r["R_m2c"], r["t_m2c"]
+        )
+        pose_overlay = inference_vis.render_pose_overlay(
+            renderer, obj_id, p.crop_camera, r["R_m2c"], r["t_m2c"],
+            p.crop_image,
         )
 
     # Template-side 2D points: project the matched 3D points into the winning
@@ -323,6 +341,18 @@ def save_visualization(
             (p.crop_image.shape[0], p.crop_image.shape[1], 3), dtype=np.uint8
         )
 
+    # Inlier/outlier mask of the shown correspondences under the estimated
+    # pose (crop camera; reference: utils/vis_util.py inlier tiles).
+    cam3d = np.asarray(r["corresp_3d"]) @ np.asarray(r["R_m2c"]).T + np.asarray(
+        r["t_m2c"]
+    )
+    z = np.where(np.abs(cam3d[:, 2:3]) < 1e-9, 1e-9, cam3d[:, 2:3])
+    proj = cam3d[:, :2] / z * np.asarray(p.crop_camera.f) + np.asarray(
+        p.crop_camera.c
+    )
+    dist = np.linalg.norm(proj - np.asarray(r["corresp_2d"]), axis=1)
+    inlier_mask = (dist <= 10.0)[valid][:max_corresp]
+
     grid = inference_vis.vis_inference_results(
         p.crop_image,
         p.crop_mask,
@@ -334,6 +364,8 @@ def save_visualization(
         caption=f"s{p.scene_id} im{p.im_id} q={r['quality']:.0f} "
         f"score={r['score']:.2f}",
         max_corresp=max_corresp,
+        inlier_mask=inlier_mask,
+        pose_overlay=pose_overlay,
     )
     from PIL import Image
 
@@ -480,23 +512,54 @@ def infer(opts: InferOpts) -> None:
                     max_corresp=opts.vis_corresp_top_n,
                 )
                 vis_images.append((r, path))
+                if p.gt is not None:
+                    # GT-vs-estimate vertex point cloud for 3D inspection
+                    # (reference: utils/vis_util.py:78-124), in the original
+                    # camera frame (where gt poses live).
+                    from foundpose_tpu.vis.inference_vis import vis_pointcloud_error
+
+                    t_w2oc = np.linalg.inv(
+                        np.asarray(p.orig_camera.T_world_from_eye)
+                    )
+                    m2w = np.eye(4)
+                    m2w[:3, :3] = np.asarray(r["R_m2w"])
+                    m2w[:3, 3] = np.asarray(r["t_m2w"]).flatten()
+                    m2oc = t_w2oc @ m2w
+                    vis_pointcloud_error(
+                        pts, m2oc[:3, :3], m2oc[:3, 3],
+                        p.gt.R_m2c, p.gt.t_m2c,
+                        os.path.join(
+                            vis_dir,
+                            f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}_error.ply",
+                        ),
+                    )
+            # Run-level score/error histograms (reference plot primitives,
+            # utils/vis_base_util.py:46-437).
+            from PIL import Image as _Image
+
+            from foundpose_tpu.vis.base import draw_histogram
+
+            scores = [r["score"] for _, r in results if r["success"]]
+            if scores:
+                _Image.fromarray(
+                    draw_histogram(np.asarray(scores), title="score")
+                ).save(os.path.join(vis_dir, "score_hist.png"))
 
         cam_t_np = np.asarray(repre.template_cameras.T_world_from_eye)
+        diameter = float(info["diameter"]) if "diameter" in info else None
         for p, r in results:
             if not r["success"]:
                 continue
-            # Template orientation error: geodesic distance between the best
-            # template's model->camera rotation and the GT rotation
-            # (reference diagnostic: utils/eval_util.py template orientation).
-            tpl_orient_err = None
+            # Orientations (model->camera) of all retrieved templates, for the
+            # template-orientation-error accumulator
+            # (reference: utils/eval_util.py:175-188).
+            tpl_r_m2c = None
             if p.gt is not None:
-                t_c2m = cam_t_np[r["best_template"]]
-                r_tpl_m2c = np.linalg.inv(t_c2m)[:3, :3]
-                cosang = np.clip(
-                    (np.trace(r_tpl_m2c @ np.asarray(p.gt.R_m2c).T) - 1) / 2, -1, 1
+                tids = np.asarray(r["template_ids"], dtype=int).reshape(-1)
+                tpl_r_m2c = np.stack(
+                    [np.linalg.inv(cam_t_np[tid])[:3, :3] for tid in tids]
                 )
-                tpl_orient_err = float(np.degrees(np.arccos(cosang)))
-            rec = evaluator.update(
+            evaluator.update(
                 scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
                 hypothesis_id=0, obj_id=p.obj_id,
                 R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
@@ -509,9 +572,18 @@ def infer(opts: InferOpts) -> None:
                 sym_r=sym_r if p.gt else None,
                 sym_t=sym_t if p.gt else None,
                 K=np.asarray(p.orig_camera.K) if p.gt else None,
+                camera_c2w=p.crop_camera,
+                corresp={
+                    "coord_2d": r["corresp_2d"],
+                    "coord_2d_ids": r["corresp_2d_ids"],
+                    "coord_3d": r["corresp_3d"],
+                    "valid": r["corresp_valid"],
+                },
+                object_diameter=diameter,
+                retrieved_template_R_m2c=tpl_r_m2c,
+                mask_iou=p.mask_iou,
+                inlier_radius=opts.pnp_inlier_thresh,
             )
-            if tpl_orient_err is not None:
-                rec.time["template_orientation_err_deg"] = tpl_orient_err
 
         if opts.save_estimates:
             out_dir = os.path.join(
@@ -523,6 +595,12 @@ def infer(opts: InferOpts) -> None:
                 os.path.join(out_dir, "estimated-poses.json")
             )
             evaluator.save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
+            # Reference-layout per-object metric table
+            # (reference: utils/eval_util.py:400-516).
+            evaluator.save_metrics(
+                os.path.join(out_dir, "metrics-table.tsv"),
+                inlier_thresh=opts.pnp_inlier_thresh,
+            )
             # Best/worst gallery over the visualized estimates
             # (reference: utils/eval_util.py:518-590).
             if vis_images:
@@ -597,7 +675,9 @@ def run_batches_multi(
                         "score": float(out_np.score[i]),
                         "best_template": int(out_np.best_template[i]),
                         "num_queries": float(out_np.num_queries[i]),
+                        "template_ids": out_np.template_ids[i],
                         "corresp_2d": out_np.best_corresp_2d[i],
+                        "corresp_2d_ids": out_np.best_corresp_2d_ids[i],
                         "corresp_3d": out_np.best_corresp_3d[i],
                         "corresp_conf": out_np.best_corresp_conf[i],
                         "corresp_valid": out_np.best_corresp_valid[i],
@@ -722,6 +802,20 @@ def infer_multi_object(opts: InferOpts) -> None:
             sym_r=sym_r if p.gt else None,
             sym_t=sym_t if p.gt else None,
             K=np.asarray(p.orig_camera.K) if p.gt else None,
+            camera_c2w=p.crop_camera,
+            corresp={
+                "coord_2d": r["corresp_2d"],
+                "coord_2d_ids": r["corresp_2d_ids"],
+                "coord_3d": r["corresp_3d"],
+                "valid": r["corresp_valid"],
+            },
+            object_diameter=(
+                float(models_info[p.obj_id]["diameter"])
+                if "diameter" in models_info.get(p.obj_id, {})
+                else None
+            ),
+            mask_iou=p.mask_iou,
+            inlier_radius=opts.pnp_inlier_thresh,
         )
 
     if opts.save_estimates:
@@ -735,4 +829,8 @@ def infer_multi_object(opts: InferOpts) -> None:
                 os.path.join(out_dir, "estimated-poses.json")
             )
             evaluators[lid].save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
+            evaluators[lid].save_metrics(
+                os.path.join(out_dir, "metrics-table.tsv"),
+                inlier_thresh=opts.pnp_inlier_thresh,
+            )
             logger.info(f"Summary object {lid}: {evaluators[lid].summary()}")

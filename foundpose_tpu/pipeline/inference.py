@@ -54,8 +54,6 @@ class InferenceConfig:
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
     lm_iters: int = 10
-    # Fused Pallas kernel for the buddy nearest-neighbor search.
-    use_pallas_buddies: bool = False
     # Featuremetric refinement (paper stage; not in the reference OSS release).
     refine_featuremetric: bool = False
     featuremetric_iters: int = 8
@@ -79,6 +77,7 @@ class PoseOutputs(NamedTuple):
     num_queries: Array  # [B] valid query-point count
     # Winning template's correspondences (for visualization / diagnostics).
     best_corresp_2d: Array  # [B, K, 2]
+    best_corresp_2d_ids: Array  # [B, K] query grid-point ids (for inlier ratios)
     best_corresp_3d: Array  # [B, K, 3]
     best_corresp_conf: Array  # [B, K]
     best_corresp_valid: Array  # [B, K]
@@ -188,8 +187,7 @@ def match_batch(
     repre: ObjectRepre,
     config: InferenceConfig,
 ):
-    """Stage B: batched cyclic-buddy matching against the retrieved templates
-    (one fused Pallas kernel when enabled)."""
+    """Stage B: batched cyclic-buddy matching against the retrieved templates."""
     cdt = config.compute_dtype
     grid_pts = sampling.grid_points(config.crop_size, config.grid_cell_size)
     return corresp_mod.establish_correspondences_batch(
@@ -203,7 +201,6 @@ def match_batch(
         repre.bank_mask,
         top_k=config.top_k_buddies,
         approx_topk=config.approx_topk,
-        use_pallas=config.use_pallas_buddies,
     )
 
 
@@ -300,6 +297,7 @@ def solve_batch(
             results.quality,
             jnp.sum(validf),
             cors.coord_2d[best],
+            cors.coord_2d_ids[best],
             cors.coord_3d[best],
             cors.coord_conf[best],
             cors.valid[best],
@@ -317,6 +315,7 @@ def solve_batch(
         per_tpl_quality,
         num_queries,
         best_c2d,
+        best_c2d_ids,
         best_c3d,
         best_conf,
         best_cvalid,
@@ -345,6 +344,7 @@ def solve_batch(
         per_template_quality=per_tpl_quality,
         num_queries=num_queries,
         best_corresp_2d=best_c2d,
+        best_corresp_2d_ids=best_c2d_ids,
         best_corresp_3d=best_c3d,
         best_corresp_conf=best_conf,
         best_corresp_valid=best_cvalid,

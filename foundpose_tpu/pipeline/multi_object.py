@@ -110,14 +110,14 @@ def pose_from_features_multi(
             results.success[best], results.R[best], results.t[best],
             quality[best], score, template_ids, template_scores,
             template_ids[best], results.quality, jnp.sum(validf),
-            cors.coord_2d[best], cors.coord_3d[best], cors.coord_conf[best],
-            cors.valid[best],
+            cors.coord_2d[best], cors.coord_2d_ids[best], cors.coord_3d[best],
+            cors.coord_conf[best], cors.valid[best],
         )
 
     keys = jax.random.split(key, b)
     (success, r_m2c, t_m2c, quality, score, template_ids, template_scores,
      best_template, per_tpl_quality, num_queries,
-     best_c2d, best_c3d, best_conf, best_cvalid) = jax.vmap(per_crop)(
+     best_c2d, best_c2d_ids, best_c3d, best_conf, best_cvalid) = jax.vmap(per_crop)(
         feature_maps, masks, cameras.f, cameras.c, obj_idx, keys
     )
 
@@ -131,7 +131,8 @@ def pose_from_features_multi(
         quality=quality, score=score, template_ids=template_ids,
         template_scores=template_scores, best_template=best_template,
         per_template_quality=per_tpl_quality, num_queries=num_queries,
-        best_corresp_2d=best_c2d, best_corresp_3d=best_c3d,
+        best_corresp_2d=best_c2d, best_corresp_2d_ids=best_c2d_ids,
+        best_corresp_3d=best_c3d,
         best_corresp_conf=best_conf, best_corresp_valid=best_cvalid,
     )
 

@@ -99,14 +99,14 @@ def establish_correspondences_batch(
     bank_mask: Array,
     top_k: int,
     approx_topk: bool = False,
-    use_pallas: bool = False,
-    interpret: bool = False,
 ) -> Correspondences:
     """Batched buddy correspondences for all crops x retrieved templates.
 
-    Like `establish_correspondences` but over the whole crop batch at once,
-    so the nearest-neighbor search can run as one fused Pallas kernel
-    (ops/buddies_kernel.py) instead of HBM-materialized distance matrices.
+    Like `establish_correspondences` but over the whole crop batch at once.
+    (A fused Pallas dual-argmin kernel existed for this stage in round 1 but
+    measured SLOWER than the XLA path end-to-end — 240 vs 265 crops/s — and
+    was removed; XLA's fusion of the [Q, F] distance matrix + dual argmin is
+    already near HBM-bound for these shapes.)
 
     Args:
         query_points: [Q, 2] shared query grid.
@@ -119,22 +119,15 @@ def establish_correspondences_batch(
     sel_verts = jnp.take(bank_vertices, template_ids, axis=0)
     sel_mask = jnp.take(bank_mask, template_ids, axis=0)
 
-    if use_pallas:
-        from foundpose_tpu.ops.buddies_kernel import dual_argmin
+    def pair(qf, qm, bf, bm):
+        d = pairwise_sqdist(qf, bf)
+        d = jnp.where(qm[:, None], d, _INF)
+        d = jnp.where(bm[None, :], d, _INF)
+        return jnp.argmin(d, axis=1), jnp.argmin(d, axis=0)
 
-        q2o, o2q = dual_argmin(
-            query_feats, sel_feats, query_mask, sel_mask, interpret=interpret
-        )
-    else:
-        def pair(qf, qm, bf, bm):
-            d = pairwise_sqdist(qf, bf)
-            d = jnp.where(qm[:, None], d, _INF)
-            d = jnp.where(bm[None, :], d, _INF)
-            return jnp.argmin(d, axis=1), jnp.argmin(d, axis=0)
-
-        q2o, o2q = jax.vmap(jax.vmap(pair, in_axes=(None, None, 0, 0)))(
-            query_feats, query_mask, sel_feats, sel_mask
-        )
+    q2o, o2q = jax.vmap(jax.vmap(pair, in_axes=(None, None, 0, 0)))(
+        query_feats, query_mask, sel_feats, sel_mask
+    )
 
     def finish(q2o_i, o2q_i, verts, tid, tscore, qmask):
         cycle_ids = o2q_i[q2o_i]  # [Q]

@@ -49,23 +49,20 @@ def device_time_scan(
     """Seconds per call of `fn(*args)`, measured as pure device time.
 
     Runs `iters` sequentially-dependent applications of `fn` inside ONE jitted
-    `lax.scan` program (a scalar carry perturbs the first float input and is
-    updated from the output, so iterations can neither be CSE'd nor hoisted),
+    `lax.scan` program (a scalar carry perturbs EVERY float input and is
+    updated from every output leaf, so no part of the body can be CSE'd,
+    dead-code-eliminated, or hoisted out of the loop as loop-invariant),
     and differences against a length-1 program: per-call time =
     (t_iters - t_1) / (iters - 1). This cancels fixed dispatch/transfer/fetch
     costs, which dominate wall-clock on tunneled backends where every program
-    launch is a host round trip.
+    launch is a host round trip. Perturbation adds on inputs the function
+    never uses are themselves dead code, so they cost nothing.
     """
     leaves, _ = jax.tree.flatten(args)
-    idx = next(
-        (
-            i
-            for i, l in enumerate(leaves)
-            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
-        ),
-        None,
-    )
-    if idx is None:
+    if not any(
+        hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
+        for l in leaves
+    ):
         raise ValueError("device_time_scan needs at least one float array arg")
 
     def make(length: int):
@@ -74,8 +71,13 @@ def device_time_scan(
             lv, td = jax.tree.flatten(a)
 
             def body(carry, _):
-                lv2 = list(lv)
-                lv2[idx] = lv[idx] + (carry * 1e-30).astype(lv[idx].dtype)
+                eps = carry * 1e-30
+                lv2 = [
+                    l + eps.astype(l.dtype)
+                    if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.inexact)
+                    else l
+                    for l in lv
+                ]
                 out = fn(*jax.tree.unflatten(td, lv2))
                 # The carry must consume EVERY output leaf in full, or XLA
                 # dead-code-eliminates (or slices down) the unconsumed

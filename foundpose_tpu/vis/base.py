@@ -133,3 +133,101 @@ def write_text(
     cv2.putText(img, text, org, cv2.FONT_HERSHEY_SIMPLEX, scale, (255, 255, 255), 1,
                 cv2.LINE_AA)
     return img
+
+
+def draw_histogram(
+    values: np.ndarray,
+    bins: int = 32,
+    size: Tuple[int, int] = (320, 200),
+    color=(80, 140, 255),
+    title: Optional[str] = None,
+) -> np.ndarray:
+    """Renders a histogram of `values` as an image (cv2-drawn; matplotlib-free
+    counterpart of the reference's histogram plots,
+    reference: utils/vis_base_util.py:46-437)."""
+    w, h = size
+    img = np.full((h, w, 3), 255, dtype=np.uint8)
+    vals = np.asarray(values, dtype=np.float64).ravel()
+    vals = vals[np.isfinite(vals)]
+    if vals.size == 0:
+        return write_text(img, "no data")
+    hist, edges = np.histogram(vals, bins=bins)
+    peak = max(int(hist.max()), 1)
+    margin = 18
+    bar_w = (w - 2 * margin) / bins
+    for i, count in enumerate(hist):
+        x1 = int(margin + i * bar_w)
+        x2 = int(margin + (i + 1) * bar_w) - 1
+        y1 = h - margin
+        y2 = int(y1 - (h - 2 * margin) * (count / peak))
+        cv2.rectangle(img, (x1, y2), (x2, y1), color, -1)
+    cv2.rectangle(img, (margin, margin), (w - margin, h - margin), (0, 0, 0), 1)
+    img = write_text(img, f"{edges[0]:.3g}", org=(margin, h - 4), scale=0.35)
+    img = write_text(img, f"{edges[-1]:.3g}", org=(w - 3 * margin, h - 4), scale=0.35)
+    if title:
+        img = write_text(img, title, org=(margin, 14), scale=0.4)
+    return img
+
+
+def scatter_2d(
+    points: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+    size: Tuple[int, int] = (320, 320),
+    radius: int = 2,
+    title: Optional[str] = None,
+) -> np.ndarray:
+    """Renders a labeled 2D scatter (e.g. a feature-space embedding) as an
+    image (reference: utils/vis_base_util.py t-SNE/feature plots)."""
+    w, h = size
+    img = np.full((h, w, 3), 255, dtype=np.uint8)
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.size == 0:
+        return write_text(img, "no data")
+    lo = pts.min(axis=0)
+    span = np.maximum(pts.max(axis=0) - lo, 1e-9)
+    margin = 10
+    norm = (pts - lo) / span
+    xy = (norm * [w - 2 * margin, h - 2 * margin] + margin).astype(int)
+    lab = np.zeros(len(pts), dtype=int) if labels is None else np.asarray(labels)
+    uniq = np.unique(lab)
+    for i, u in enumerate(uniq):
+        hue = int(179 * i / max(len(uniq), 1))
+        color = cv2.cvtColor(
+            np.asarray([[[hue, 200, 230]]], dtype=np.uint8), cv2.COLOR_HSV2RGB
+        )[0, 0]
+        for p in xy[lab == u]:
+            cv2.circle(img, (int(p[0]), int(p[1])), radius,
+                       tuple(int(c) for c in color), -1)
+    if title:
+        img = write_text(img, title, org=(margin, 14), scale=0.4)
+    return img
+
+
+def embed_tsne(features: np.ndarray, max_samples: int = 2000, seed: int = 0):
+    """2D t-SNE embedding of feature vectors for scatter_2d
+    (reference: utils/vis_base_util.py t-SNE helper; sklearn-backed)."""
+    from sklearn.manifold import TSNE
+
+    feats = np.asarray(features)
+    keep = np.arange(len(feats))
+    if len(feats) > max_samples:
+        keep = np.random.default_rng(seed).permutation(len(feats))[:max_samples]
+        feats = feats[keep]
+    emb = TSNE(n_components=2, random_state=seed, init="pca").fit_transform(feats)
+    return emb, keep
+
+
+def draw_inliers(
+    image: np.ndarray,
+    points: np.ndarray,
+    inlier_mask: np.ndarray,
+    radius: int = 2,
+) -> np.ndarray:
+    """Correspondence points colored green (inlier) / red (outlier)
+    (reference: utils/vis_util.py inlier plots)."""
+    img = ensure_rgb(image).copy()
+    inl = np.asarray(inlier_mask).astype(bool)
+    for p, ok in zip(np.asarray(points), inl):
+        color = (0, 200, 0) if ok else (220, 0, 0)
+        cv2.circle(img, (int(round(p[0])), int(round(p[1]))), radius, color, -1)
+    return img

@@ -46,6 +46,8 @@ def vis_inference_results(
     feature_map: Optional[np.ndarray] = None,
     caption: str = "",
     max_corresp: int = 100,
+    inlier_mask: Optional[np.ndarray] = None,
+    pose_overlay: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Builds the per-estimate tile grid. (reference: utils/vis_util.py:179-687)"""
     tiles: List[np.ndarray] = []
@@ -54,6 +56,17 @@ def vis_inference_results(
     if est_mask is not None:
         tiles.append(
             vb.write_text(vb.overlay_contour(base, est_mask), "estimated pose")
+        )
+    if pose_overlay is not None:
+        tiles.append(vb.write_text(pose_overlay, "posed mesh"))
+    if inlier_mask is not None and corresp_2d is not None:
+        # Inlier/outlier plot of the winning correspondences under the
+        # estimated pose (reference: utils/vis_util.py inlier tiles).
+        tiles.append(
+            vb.write_text(
+                vb.draw_inliers(base, corresp_2d, inlier_mask),
+                f"inliers {int(np.sum(inlier_mask))}/{len(inlier_mask)}",
+            )
         )
     if (
         template_image is not None
@@ -102,3 +115,68 @@ def render_pose_mask(
         obj_id, camera, T_model_to_world=t_c2w @ t_m2w
     )
     return np.asarray(out[RenderType.MASK])
+
+
+def render_pose_overlay(
+    renderer,
+    obj_id: int,
+    camera,
+    R_m2c: np.ndarray,
+    t_m2c: np.ndarray,
+    base_image: np.ndarray,
+    alpha: float = 0.55,
+    dim_background: float = 0.5,
+) -> np.ndarray:
+    """Alpha-blends a shaded render of the object at the estimated pose over
+    the image: the posed object appears lit on a dimmed background, the
+    standard qualitative pose visualization
+    (reference: utils/render_vis_util.py:90-180 `vis_posed_meshes_of_objects`).
+    """
+    from foundpose_tpu.renderer.base import RenderType
+    from foundpose_tpu.vis import base as vb
+
+    t_m2w = np.eye(4)
+    t_m2w[:3, :3] = np.asarray(R_m2c)
+    t_m2w[:3, 3] = np.asarray(t_m2c).flatten()
+    t_c2w = np.asarray(camera.T_world_from_eye)
+    out = renderer.render_object_model(
+        obj_id, camera, T_model_to_world=t_c2w @ t_m2w,
+        render_types=[RenderType.COLOR, RenderType.MASK],
+    )
+    color = np.asarray(out[RenderType.COLOR]).astype(np.float32)
+    if color.max() <= 1.0 + 1e-6:
+        color = color * 255.0
+    mask = (np.asarray(out[RenderType.MASK]) > 0)[..., None].astype(np.float32)
+    base = vb.ensure_rgb(base_image).astype(np.float32) * dim_background
+    blended = base * (1.0 - alpha * mask) + color * alpha * mask
+    return np.clip(blended, 0, 255).astype(np.uint8)
+
+
+def vis_pointcloud_error(
+    vertices_model: np.ndarray,
+    R_est: np.ndarray,
+    t_est: np.ndarray,
+    R_gt: np.ndarray,
+    t_gt: np.ndarray,
+    ply_output_path: str,
+) -> None:
+    """Exports a colored point cloud with the object vertices posed by the GT
+    (green) and the estimate (blue), for inspecting pose errors in a 3D viewer
+    (reference: utils/vis_util.py:78-124 `vis_pointcloud_error`)."""
+    import os
+
+    from foundpose_tpu.data.ply import Mesh, save_ply
+
+    pts = np.asarray(vertices_model, dtype=np.float64)
+    gt = pts @ np.asarray(R_gt, dtype=np.float64).T + np.asarray(t_gt).flatten()
+    est = pts @ np.asarray(R_est, dtype=np.float64).T + np.asarray(t_est).flatten()
+    verts = np.concatenate([gt, est], axis=0).astype(np.float32)
+    colors = np.concatenate(
+        [
+            np.tile(np.asarray([[0, 255, 0]], np.uint8), (len(gt), 1)),
+            np.tile(np.asarray([[0, 0, 255]], np.uint8), (len(est), 1)),
+        ],
+        axis=0,
+    )
+    os.makedirs(os.path.dirname(ply_output_path) or ".", exist_ok=True)
+    save_ply(ply_output_path, Mesh(vertices=verts, faces=None, colors=colors))

@@ -240,10 +240,19 @@ def test_full_framework_end_to_end(tmp_path):
     assert len(results) == 1
     vis_dir = tmp_path / "inference" / "demo" / "v1" / str(OBJ_ID) / "vis"
     assert any(vis_dir.glob("*.png"))
+    # Vertex-error point cloud + score histogram were exported
+    # (reference: utils/vis_util.py:78-124, vis_base_util histograms).
+    assert any(vis_dir.glob("*_error.ply"))
+    assert (vis_dir / "score_hist.png").exists()
+    # Reference-layout metric table exists alongside estimated-poses.json.
+    assert (results_path.parent / "metrics-table.tsv").exists()
     r_est = np.asarray(results[0]["R"], dtype=float)
     t_est = np.asarray(results[0]["t"], dtype=float).flatten()
-    # MSSD against GT was recorded (GT association worked).
+    # MSSD against GT + the extended accumulators were recorded.
     assert "mssd" in results[0]
+    assert "mssd_n" in results[0]
+    assert "inliers_est" in results[0] and "inliers_est_err" in results[0]
+    assert "inliers_gt" in results[0] and "inliers_gt_err" in results[0]
 
     # Pose must be close to GT (same-renderer query/template features).
     from scipy.spatial.transform import Rotation

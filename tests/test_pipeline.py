@@ -217,25 +217,6 @@ def test_pose_from_features_bench_config(rng):
     np.testing.assert_allclose(np.asarray(out.t_m2c[0]), t_gt, atol=0.03)
 
 
-def test_pose_from_features_pallas_buddies(rng):
-    """The Pallas dual-argmin path (interpret mode on CPU) recovers the GT."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    repre, obj_points, obj_feats, tpl_point_ids = make_synthetic_world(rng)
-    fmap, mask, camera, r_gt, t_gt = render_synthetic_query(
-        rng, obj_points, obj_feats, tpl_point_ids, 2
-    )
-    cameras = jax.tree.map(lambda *x: jnp.stack(x), camera)
-    config = inference.InferenceConfig(
-        top_n_templates=3, top_k_buddies=60, pnp_ransac_iter=200,
-        use_pallas_buddies=True,
-    )
-    with pltpu.force_tpu_interpret_mode():
-        out = inference.pose_from_features(
-            jnp.asarray(fmap)[None], jnp.asarray(mask)[None], cameras, repre,
-            jax.random.PRNGKey(0), config,
-        )
-    assert bool(out.success[0])
-    rot_err = float(geometry.rotation_error_deg(out.R_m2c[0], jnp.asarray(r_gt)))
-    assert rot_err < 6.0, rot_err
-    np.testing.assert_allclose(np.asarray(out.t_m2c[0]), t_gt, atol=0.02)
+# (A Pallas dual-argmin buddies kernel existed in round 1 but measured slower
+# than XLA's fused distance-matrix path end-to-end, so it was removed; see
+# pose/corresp.py:establish_correspondences_batch.)

@@ -77,3 +77,73 @@ def test_render_pose_mask(rng):
         renderer, 1, cam, np.eye(3), np.array([0, 0, 100.0])
     )
     assert mask.sum() > 100
+
+
+def test_histogram_and_scatter_primitives(rng):
+    from foundpose_tpu.vis.base import draw_histogram, scatter_2d, draw_inliers
+
+    vals = rng.normal(size=500)
+    img = draw_histogram(vals, bins=16, title="errs")
+    assert img.shape == (200, 320, 3) and img.dtype == np.uint8
+    assert (img < 250).any()  # something was drawn
+
+    pts = rng.uniform(size=(100, 2))
+    labels = rng.integers(0, 4, size=100)
+    sc = scatter_2d(pts, labels, title="tsne")
+    assert sc.shape == (320, 320, 3)
+    assert (sc < 250).any()
+
+    base = np.zeros((64, 64, 3), np.uint8)
+    out = draw_inliers(base, rng.uniform(0, 64, (20, 2)), rng.uniform(size=20) > 0.5)
+    assert (out.sum(axis=-1) > 0).any()
+
+    # Degenerate inputs stay well-formed.
+    assert draw_histogram(np.asarray([])).shape == (200, 320, 3)
+    assert scatter_2d(np.zeros((0, 2))).shape == (320, 320, 3)
+
+
+def test_pointcloud_error_ply(rng, tmp_path):
+    from foundpose_tpu.data.ply import load_ply
+    from foundpose_tpu.vis.inference_vis import vis_pointcloud_error
+
+    pts = rng.uniform(-30, 30, (50, 3)).astype(np.float32)
+    r_gt = np.eye(3)
+    t_gt = np.asarray([0.0, 0.0, 500.0])
+    path = str(tmp_path / "err.ply")
+    vis_pointcloud_error(pts, r_gt, t_gt + 5.0, r_gt, t_gt, path)
+    mesh = load_ply(path)
+    # GT (green) + estimate (blue) copies of every vertex.
+    assert mesh.vertices.shape == (100, 3)
+    assert mesh.colors is not None
+    assert (mesh.colors[:50] == [0, 255, 0]).all()
+    assert (mesh.colors[50:] == [0, 0, 255]).all()
+    # The estimate copy is offset by the pose delta.
+    np.testing.assert_allclose(
+        mesh.vertices[50:] - mesh.vertices[:50], 5.0, atol=1e-4
+    )
+
+
+def test_render_pose_overlay(rng):
+    """Alpha-blended posed-mesh overlay: the object region is brightened by
+    the shaded render, the background dimmed
+    (reference: utils/render_vis_util.py:90-180)."""
+    from foundpose_tpu.renderer.base import RendererType, build
+    from foundpose_tpu.vis.inference_vis import render_pose_overlay
+    from test_integration import make_textured_icosahedron
+    from foundpose_tpu.structs import PinholeCamera
+
+    mesh = make_textured_icosahedron()
+    renderer = build(RendererType.SOFTWARE_RASTERIZER)
+    renderer.add_object_model(7, mesh)
+    cam = PinholeCamera.create(
+        f=(120.0, 120.0), c=(48.0, 48.0), width=96, height=96
+    )
+    base = np.full((96, 96, 3), 200, np.uint8)
+    out = render_pose_overlay(
+        renderer, 7, cam, np.eye(3), np.asarray([0.0, 0.0, 300.0]), base
+    )
+    assert out.shape == (96, 96, 3) and out.dtype == np.uint8
+    # Background dimmed to ~100; object region differs from background.
+    corner = out[:4, :4].astype(int).mean()
+    assert 80 < corner < 120, corner
+    assert np.abs(out.astype(int) - int(corner)).max() > 40
