@@ -94,6 +94,36 @@ def from_dict(cls: Type[T], data: Dict[str, Any]) -> T:
     return cls(**kwargs)
 
 
+def merge_json(base: Any, update: Any) -> Any:
+    """Recursive JSON merge: nested dicts merge key-by-key, everything else
+    is replaced by `update`. (reference: utils/json_util.py:39-69)"""
+    if isinstance(base, dict) and isinstance(update, dict):
+        out = dict(base)
+        for k, v in update.items():
+            out[k] = merge_json(base[k], v) if k in base else v
+        return out
+    return update
+
+
+def merge_json_at_path(base: Any, path: str, value: Any) -> Any:
+    """Merges `value` into `base` at a dotted path, creating intermediate
+    dicts (e.g. path="infer_opts.batch_size").
+    (reference: utils/json_util.py:72-97)"""
+    if not path:
+        return merge_json(base, value)
+    head, _, tail = path.partition(".")
+    out = dict(base) if isinstance(base, dict) else {}
+    out[head] = merge_json_at_path(out.get(head, {}), tail, value)
+    return out
+
+
+def _parse_set_value(raw: str) -> Any:
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return raw  # bare strings need no quotes
+
+
 def _add_field_arg(parser: argparse.ArgumentParser, name: str, tp, default):
     tp, _ = _unwrap_optional(tp)
     origin = typing.get_origin(tp)
@@ -118,18 +148,35 @@ def load_opts(
 ) -> T:
     """Loads options from `--opts-path <json>` or generated CLI flags.
 
-    (reference entry point: config_util.py:240-282)
+    Layering: `--opts-extra <json>` (repeatable) deep-merges further envelope
+    files over the base, and `--set dotted.path=value` (repeatable, value
+    parsed as JSON) patches individual fields — the reference's json merge /
+    path-merge helpers as a CLI feature.
+
+    (reference entry point: config_util.py:240-282; merge helpers:
+    json_util.py:39-97)
     """
     argv = list(sys.argv[1:] if argv is None else argv)
     key = opts_key or camel_to_snake(cls.__name__)
 
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--opts-path", type=str, default=None)
+    pre.add_argument("--opts-extra", type=str, action="append", default=[])
+    pre.add_argument("--set", dest="set_overrides", action="append", default=[])
     known, rest = pre.parse_known_args(argv)
 
     if known.opts_path:
         with open(known.opts_path) as f:
             envelope = json.load(f)
+        for extra in known.opts_extra:
+            with open(extra) as f:
+                envelope = merge_json(envelope, json.load(f))
+        for item in known.set_overrides:
+            path, _, raw = item.partition("=")
+            # Paths are relative to the opts envelope key.
+            envelope = merge_json_at_path(
+                envelope, f"{key}.{path}", _parse_set_value(raw)
+            )
         if key not in envelope:
             raise ValueError(f"'{key}' not found in {known.opts_path}")
         base = from_dict(cls, envelope[key])
@@ -137,6 +184,10 @@ def load_opts(
             # CLI flags override JSON values.
             parser = argparse.ArgumentParser()
             parser.add_argument("--opts-path", type=str, default=None)
+            parser.add_argument("--opts-extra", type=str, action="append",
+                                default=[])
+            parser.add_argument("--set", dest="set_overrides", action="append",
+                                default=[])
             hints = typing.get_type_hints(cls)
             for f in dataclasses.fields(cls):
                 _add_field_arg(parser, f.name, hints[f.name], getattr(base, f.name))
@@ -148,6 +199,9 @@ def load_opts(
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--opts-path", type=str, default=None)
+    parser.add_argument("--opts-extra", type=str, action="append", default=[])
+    parser.add_argument("--set", dest="set_overrides", action="append",
+                        default=[])
     hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
         default = (

@@ -170,3 +170,58 @@ def test_shipped_configs_load():
             assert opts.object_dataset in ("lmo", "tudl", "ycbv", "tless")
             count += 1
     assert count == 12
+
+
+def test_merge_json_helpers():
+    """Recursive merge + dotted-path merge
+    (reference: utils/json_util.py:39-97)."""
+    from foundpose_tpu.utils.config import merge_json, merge_json_at_path
+
+    base = {"a": {"x": 1, "y": 2}, "b": [1, 2], "c": "keep"}
+    upd = {"a": {"y": 20, "z": 30}, "b": [9]}
+    out = merge_json(base, upd)
+    assert out == {"a": {"x": 1, "y": 20, "z": 30}, "b": [9], "c": "keep"}
+    assert base["a"] == {"x": 1, "y": 2}  # inputs untouched
+
+    out2 = merge_json_at_path(base, "a.y", 99)
+    assert out2["a"] == {"x": 1, "y": 99}
+    out3 = merge_json_at_path({}, "p.q.r", {"v": 1})
+    assert out3 == {"p": {"q": {"r": {"v": 1}}}}
+
+
+def test_load_opts_layering_and_set(tmp_path):
+    """--opts-extra deep-merges envelope files; --set patches dotted fields."""
+    import dataclasses as dc
+    import json
+
+    from foundpose_tpu.utils.config import load_opts
+
+    @dc.dataclass(frozen=True)
+    class DemoOpts:
+        name: str = "x"
+        batch_size: int = 4
+        crop_size: tuple = (420, 420)
+
+    base = tmp_path / "base.json"
+    base.write_text(json.dumps({"demo_opts": {"name": "base", "batch_size": 8}}))
+    extra = tmp_path / "extra.json"
+    extra.write_text(json.dumps({"demo_opts": {"batch_size": 16}}))
+
+    opts = load_opts(DemoOpts, argv=["--opts-path", str(base)])
+    assert opts.name == "base" and opts.batch_size == 8
+
+    opts = load_opts(
+        DemoOpts, argv=["--opts-path", str(base), "--opts-extra", str(extra)]
+    )
+    assert opts.batch_size == 16 and opts.name == "base"
+
+    opts = load_opts(
+        DemoOpts,
+        argv=[
+            "--opts-path", str(base),
+            "--opts-extra", str(extra),
+            "--set", "batch_size=32",
+            "--set", 'name="patched"',
+        ],
+    )
+    assert opts.batch_size == 32 and opts.name == "patched"
