@@ -77,3 +77,28 @@ def shard_repre(repre, mesh: Mesh):
         feat_to_template_ids=place(repre.feat_to_template_ids, rep),
         feat_mask=place(repre.feat_mask, rep),
     )
+
+
+def shard_repre_multi(multi_repre, mesh: Mesh):
+    """Places a stacked multi-object repre (repre.stack_repres) on the mesh:
+    per-object template/bank arrays sharded over `bank` along the TEMPLATE
+    axis (dim 1), codebooks and flat arrays replicated."""
+    obj_bank = NamedSharding(mesh, P(None, BANK_AXIS))
+    rep = replicated(mesh)
+
+    def place(x, sharding):
+        return jax.device_put(x, sharding) if x is not None else None
+
+    return multi_repre.replace(
+        template_descs=place(multi_repre.template_descs, obj_bank),
+        template_mask=place(multi_repre.template_mask, obj_bank),
+        bank_feats=place(multi_repre.bank_feats, obj_bank),
+        bank_vertices=place(multi_repre.bank_vertices, obj_bank),
+        bank_mask=place(multi_repre.bank_mask, obj_bank),
+        word_centroids=place(multi_repre.word_centroids, rep),
+        word_idfs=place(multi_repre.word_idfs, rep),
+        vertices=place(multi_repre.vertices, rep),
+        feat_vectors=place(multi_repre.feat_vectors, rep),
+        feat_to_template_ids=place(multi_repre.feat_to_template_ids, rep),
+        feat_mask=place(multi_repre.feat_mask, rep),
+    )

@@ -49,6 +49,7 @@ def _retrieve_sharded(
     template_descs_local: Array,
     top_n: int,
     tfidf_config,
+    template_mask_local: Array | None = None,
 ) -> tuple[Array, Array]:
     """tf-idf retrieval with the template-descriptor bank sharded over BANK_AXIS.
 
@@ -70,6 +71,8 @@ def _retrieve_sharded(
         jnp.linalg.norm(template_descs_local, axis=-1, keepdims=True), 1e-12
     )
     local_sims = tn @ qn  # [T_local]
+    if template_mask_local is not None:
+        local_sims = jnp.where(template_mask_local, local_sims, -jnp.inf)
     t_local = local_sims.shape[0]
     k = min(top_n, t_local)
     local_scores, local_ids = jax.lax.top_k(local_sims, k)
@@ -247,6 +250,160 @@ def make_sharded_step(
          best_template, per_tpl_quality, num_queries,
          best_c2d, best_c2d_ids, best_c3d, best_conf, best_cvalid) = shard_fn(
             vit_params, crops, masks, cameras.f, cameras.c, repre_arrays, key
+        )
+        m2c = geometry.as_4x4_rt(r_m2c, t_m2c)
+        m2w = jnp.matmul(
+            cameras.T_world_from_eye, m2c, precision=jax.lax.Precision.HIGHEST
+        )
+        return PoseOutputs(
+            success=success, R_m2c=r_m2c, t_m2c=t_m2c,
+            R_m2w=m2w[..., :3, :3], t_m2w=m2w[..., :3, 3],
+            quality=quality, score=score, template_ids=template_ids,
+            template_scores=template_scores, best_template=best_template,
+            per_template_quality=per_tpl_quality, num_queries=num_queries,
+            best_corresp_2d=best_c2d, best_corresp_2d_ids=best_c2d_ids,
+            best_corresp_3d=best_c3d,
+            best_corresp_conf=best_conf, best_corresp_valid=best_cvalid,
+        )
+
+    return step
+
+
+def make_sharded_step_multi(
+    mesh: Mesh,
+    vit_cfg: dinov2.DinoV2Config,
+    config: InferenceConfig,
+    multi_repre: ObjectRepre,
+):
+    """Multi-chip + multi-object step: crops of MANY objects share batches
+    (each crop carries an object index into the stacked repre,
+    pipeline/multi_object.py) while every object's template bank is sharded
+    over the `bank` axis — the two scale-out axes compose.
+
+    Returns step(vit_params, crops, masks, cameras, obj_idx, key). Place
+    inputs with `mesh.crop_sharding`, the stacked repre with
+    `mesh.shard_repre_multi`. obj_idx is [B] int32, data-sharded.
+    """
+    from jax import shard_map
+
+    tfidf_config = multi_repre.tfidf_config
+    has_pca = multi_repre.raw_projector is not None
+
+    def inner(vit_params, crops, masks, cam_f, cam_c, obj_idx, repre_arrays,
+              key):
+        (word_centroids, word_idfs, template_descs_local, template_mask_local,
+         bank_feats_local, bank_vertices_local, bank_mask_local,
+         raw_projector) = repre_arrays
+
+        images = dinov2.normalize_images(crops).astype(config.compute_dtype)
+        fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
+        fmaps = fmaps.astype(jnp.float32)
+
+        b_local = crops.shape[0]
+        my_data = jax.lax.axis_index(DATA_AXIS)
+        keys_all = jax.random.split(key, jax.lax.axis_size(DATA_AXIS) * b_local)
+        keys = jax.lax.dynamic_slice_in_dim(keys_all, my_data * b_local, b_local)
+
+        def one(fmap, mask, kf, kc, oi, k):
+            points, feats, valid = query_features_from_map(
+                fmap, mask, config.crop_size, config.grid_cell_size
+            )
+            if has_pca:
+                proj = jax.tree.map(lambda a: a[oi], raw_projector)
+                feats = pca_transform(proj, feats)
+            validf = valid.astype(feats.dtype)
+            # Gather this crop's object tables; bank-sharded arrays keep
+            # their local template slice ([O, T_local, ...] -> [T_local, ...]).
+            template_ids, template_scores = _retrieve_sharded(
+                feats, validf, word_centroids[oi], word_idfs[oi],
+                template_descs_local[oi], config.top_n_templates, tfidf_config,
+                template_mask_local=template_mask_local[oi],
+            )
+            sel_feats, sel_verts, sel_mask = _fetch_banks(
+                template_ids, bank_feats_local[oi], bank_vertices_local[oi],
+                bank_mask_local[oi],
+            )
+
+            def per_template(bfeats, bverts, bmask, kk):
+                q_ids, o_ids, _, conf, bvalid = corresp_mod.cyclic_buddies(
+                    points, feats, valid, bfeats, bmask, config.top_k_buddies,
+                    approx_topk=config.approx_topk,
+                )
+                res = pnp_mod.ransac_pnp(
+                    points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
+                    num_hypotheses=config.pnp_ransac_iter,
+                    inlier_thresh=config.pnp_inlier_thresh,
+                    refine_lm=config.pnp_refine_lm,
+                    lm_iters=config.lm_iters,
+                )
+                return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
+
+            ks = jax.random.split(k, config.top_n_templates)
+            results, c2d, c2d_ids, c3d, cconf, cvalid = jax.vmap(per_template)(
+                sel_feats, sel_verts, sel_mask, ks
+            )
+            quality = jnp.where(results.success, results.quality, -1.0)
+            best = jnp.argmax(quality)
+            r_best = results.R[best]
+            t_best = results.t[best]
+            num_grid = points.shape[0]
+            score = inference_mod.estimate_score(
+                r_best, t_best, c2d[best], c2d_ids[best], c3d[best],
+                cvalid[best], kf, kc, num_query_points=num_grid,
+                inlier_radius=config.pnp_inlier_thresh,
+            )
+            return (
+                results.success[best], r_best, t_best,
+                quality[best], score, template_ids, template_scores,
+                template_ids[best], results.quality, jnp.sum(validf),
+                c2d[best], c2d_ids[best], c3d[best], cconf[best],
+                cvalid[best],
+            )
+
+        return jax.vmap(one)(fmaps, masks, cam_f, cam_c, obj_idx, keys)
+
+    data_spec = P(DATA_AXIS)
+    rep_spec = P()
+    # Stacked-repre arrays: leading object axis replicated, template axis
+    # sharded over `bank`.
+    obj_bank_spec = P(None, BANK_AXIS)
+
+    shard_fn = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(
+            rep_spec,   # vit params
+            data_spec,  # crops
+            data_spec,  # masks
+            data_spec,  # cam_f
+            data_spec,  # cam_c
+            data_spec,  # obj_idx
+            (rep_spec, rep_spec, obj_bank_spec, obj_bank_spec, obj_bank_spec,
+             obj_bank_spec, obj_bank_spec, rep_spec),
+            rep_spec,   # key
+        ),
+        out_specs=data_spec,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(vit_params, crops, masks, cameras: PinholeCamera, obj_idx, key):
+        template_mask = multi_repre.template_mask
+        if template_mask is None:
+            template_mask = jnp.ones(
+                multi_repre.template_descs.shape[:2], dtype=bool
+            )
+        repre_arrays = (
+            multi_repre.word_centroids, multi_repre.word_idfs,
+            multi_repre.template_descs, template_mask,
+            multi_repre.bank_feats, multi_repre.bank_vertices,
+            multi_repre.bank_mask, multi_repre.raw_projector,
+        )
+        (success, r_m2c, t_m2c, quality, score, template_ids, template_scores,
+         best_template, per_tpl_quality, num_queries,
+         best_c2d, best_c2d_ids, best_c3d, best_conf, best_cvalid) = shard_fn(
+            vit_params, crops, masks, cameras.f, cameras.c, obj_idx,
+            repre_arrays, key,
         )
         m2c = geometry.as_4x4_rt(r_m2c, t_m2c)
         m2w = jnp.matmul(

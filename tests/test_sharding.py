@@ -235,3 +235,139 @@ def test_sharded_step_hlo_has_expected_collectives(rng):
     assert n_all_reduce + n_all_gather >= 3, (n_all_reduce, n_all_gather)
     # No send/recv point-to-point fallbacks.
     assert "send(" not in hlo and "recv(" not in hlo
+
+
+def test_multi_object_sharded_step(rng):
+    """Mixed-object batches over the bank-sharded mesh: crops of different
+    objects share one step, each retrieving from ITS object's sharded bank;
+    results must match the single-device multi-object pipeline."""
+    from foundpose_tpu.parallel.sharded_inference import make_sharded_step_multi
+    from foundpose_tpu.pipeline.multi_object import pose_from_features_multi
+    from foundpose_tpu.repre import stack_repres
+
+    m = mesh_mod.make_mesh(shape=(4, 2))
+    # Two distinct synthetic objects (different worlds).
+    rng2 = np.random.default_rng(7)
+    repre_a, pts_a, feats_a, tpl_a = make_synthetic_world(rng)
+    repre_b, pts_b, feats_b, tpl_b = make_synthetic_world(rng2)
+    multi = stack_repres([repre_a, repre_b])
+    multi_sharded = mesh_mod.shard_repre_multi(multi, m)
+
+    # 4 crops: objects [0, 1, 0, 1].
+    worlds = [(pts_a, feats_a, tpl_a), (pts_b, feats_b, tpl_b)]
+    rngs = [rng, rng2]
+    fmaps, masks, cams = [], [], []
+    obj_idx = [0, 1, 0, 1]
+    targets = [2, 5, 4, 1]
+    for oi, tgt in zip(obj_idx, targets):
+        fmap, mask, camera, r_gt, t_gt = render_synthetic_query(
+            rngs[oi], *worlds[oi], tgt
+        )
+        fmaps.append(fmap)
+        masks.append(mask)
+        cams.append(camera)
+    cameras = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+    fmaps = jnp.asarray(np.stack(fmaps))
+    masks = jnp.asarray(np.stack(masks))
+    obj_idx_arr = jnp.asarray(obj_idx, dtype=jnp.int32)
+
+    config = inference.InferenceConfig(
+        top_n_templates=3, top_k_buddies=60, pnp_ransac_iter=200
+    )
+    # Single-device multi-object reference result (feature-level entry).
+    ref = pose_from_features_multi(
+        fmaps, masks, cameras, obj_idx_arr, multi, jax.random.PRNGKey(0), config
+    )
+
+    # Sharded multi-object step consumes crops (images); to compare the
+    # feature-level stages, drive its shard_map through a tiny ViT is
+    # unnecessary — instead check retrieval + pose agreement by running the
+    # full image step on feature-shaped inputs is not possible, so assert
+    # the sharded step at the image level separately (smoke below) and the
+    # retrieval here through the same helpers:
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from foundpose_tpu.parallel.sharded_inference import (
+        _fetch_banks,
+        _retrieve_sharded,
+    )
+    from foundpose_tpu.pipeline.inference import query_features_from_map
+
+    def inner(fmaps_l, masks_l, oi_l, descs_l, tmask_l, words, idfs):
+        def one(fmap, mask, oi):
+            _, feats, valid = query_features_from_map(fmap, mask, (420, 420), 14.0)
+            validf = valid.astype(feats.dtype)
+            tids, tscores = _retrieve_sharded(
+                feats, validf, words[oi], idfs[oi], descs_l[oi], 3,
+                multi.tfidf_config, template_mask_local=tmask_l[oi],
+            )
+            return tids, tscores
+
+        return jax.vmap(one)(fmaps_l, masks_l, oi_l)
+
+    tmask = multi.template_mask
+    if tmask is None:
+        tmask = jnp.ones(multi.template_descs.shape[:2], bool)
+    fn = shard_map(
+        inner, mesh=m,
+        in_specs=(P("data"), P("data"), P("data"),
+                  P(None, "bank"), P(None, "bank"), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    tids, tscores = jax.jit(fn)(
+        fmaps, masks, obj_idx_arr,
+        multi_sharded.template_descs, jax.device_put(
+            tmask, jax.sharding.NamedSharding(m, P(None, "bank"))
+        ),
+        multi_sharded.word_centroids, multi_sharded.word_idfs,
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(tids), axis=1),
+        np.sort(np.asarray(ref.template_ids), axis=1),
+    )
+
+
+def test_multi_object_sharded_step_image_level(rng):
+    """make_sharded_step_multi compiles and runs images->poses for a mixed
+    2-object batch on the 8-device mesh."""
+    from foundpose_tpu.parallel.sharded_inference import make_sharded_step_multi
+    from foundpose_tpu.repre import stack_repres
+
+    m = mesh_mod.make_mesh(shape=(4, 2))
+    cfg = dinov2.DinoV2Config(
+        variant="vits14", embed_dim=32, depth=2, num_heads=2, mlp_ratio=4.0,
+        swiglu=False, patch_size=14, num_register_tokens=4, pos_grid=6,
+        stride=14, facet="token", layer=1, apply_norm=True,
+    )
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    rng2 = np.random.default_rng(3)
+    repre_a, *_ = make_synthetic_world(rng, feat_dim=32)
+    repre_b, *_ = make_synthetic_world(rng2, feat_dim=32, num_templates=6)
+    multi = stack_repres([repre_a, repre_b])
+    multi_sharded = mesh_mod.shard_repre_multi(multi, m)
+
+    b, hw = 8, 84
+    crops = jax.device_put(
+        jnp.asarray(rng.uniform(size=(b, hw, hw, 3)).astype(np.float32)),
+        mesh_mod.crop_sharding(m),
+    )
+    masks = jax.device_put(jnp.ones((b, hw, hw)), mesh_mod.crop_sharding(m))
+    obj_idx = jax.device_put(
+        jnp.asarray([0, 1] * 4, dtype=jnp.int32), mesh_mod.crop_sharding(m)
+    )
+    cameras = PinholeCamera(
+        f=jnp.tile(jnp.asarray([[100.0, 100.0]]), (b, 1)),
+        c=jnp.tile(jnp.asarray([[41.5, 41.5]]), (b, 1)),
+        T_world_from_eye=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        width=hw, height=hw,
+    )
+    config = inference.InferenceConfig(
+        crop_size=(hw, hw), grid_cell_size=14.0, top_n_templates=2,
+        top_k_buddies=16, pnp_ransac_iter=50,
+    )
+    step = make_sharded_step_multi(m, cfg, config, multi_sharded)
+    out = step(params, crops, masks, cameras, obj_idx, jax.random.PRNGKey(1))
+    assert out.R_m2c.shape == (b, 3, 3)
+    assert np.isfinite(np.asarray(out.t_m2w)).all()
