@@ -70,6 +70,9 @@ def main():
     params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
     repre = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,
                              num_words=2048, raw_dim=384)
+    # bf16 banks at rest: halves repre HBM + the matching stage's bank-gather
+    # traffic (AR-level equivalence: tests/test_fastpath_ar.py).
+    repre = repre.cast_banks(jnp.bfloat16)
 
     batch = 64
     # Inputs generated on device (host uploads are slow on tunneled backends).

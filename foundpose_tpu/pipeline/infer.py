@@ -78,6 +78,10 @@ class InferOpts:
     # TPU-native performance options.
     use_pallas_attention: bool = False
     approx_topk: bool = False
+    # "float32" | "bfloat16": bf16 also casts the repre banks at rest
+    # (halves their HBM + gather traffic; AR-level equivalence tested in
+    # tests/test_fastpath_ar.py).
+    compute_dtype: str = "float32"
     # Mixed-object batching: one jitted step over a stacked multi-object
     # repre, so detections of different objects share batches
     # (pipeline/multi_object.py; no reference counterpart).
@@ -375,6 +379,7 @@ def save_visualization(
 
 def infer(opts: InferOpts) -> None:
     import jax
+    import jax.numpy as jnp_mod
 
     vit_cfg = dataclasses.replace(
         dinov2.parse_model_name(opts.extractor_name),
@@ -397,6 +402,7 @@ def infer(opts: InferOpts) -> None:
         pnp_inlier_thresh=opts.pnp_inlier_thresh,
         pnp_refine_lm=opts.pnp_refine_lm,
         refine_featuremetric=opts.refine_featuremetric,
+        compute_dtype=getattr(jnp_mod, opts.compute_dtype),
     )
     step = inference.jit_pose_from_crops(vit_cfg, config)
     warp_batch = make_warp_fn(opts.crop_size)
@@ -419,6 +425,8 @@ def infer(opts: InferOpts) -> None:
         repre = load_repre(
             os.path.join(opts.repre_dir, opts.object_dataset, opts.repre_version, str(lid))
         )
+        if opts.compute_dtype != "float32":
+            repre = repre.cast_banks(getattr(jnp_mod, opts.compute_dtype))
         evaluator = EvaluatorPose([lid])
         model = bop.load_object_model(opts.bop_root, opts.object_dataset, lid)
         info = models_info.get(lid, {})
@@ -693,6 +701,8 @@ def infer_multi_object(opts: InferOpts) -> None:
     images instead of the reference's per-object loop."""
     import jax
 
+    import jax.numpy as jnp_mod
+
     from foundpose_tpu.pipeline import multi_object as mo
     from foundpose_tpu.repre import stack_repres
 
@@ -717,6 +727,7 @@ def infer_multi_object(opts: InferOpts) -> None:
         pnp_inlier_thresh=opts.pnp_inlier_thresh,
         pnp_refine_lm=opts.pnp_refine_lm,
         refine_featuremetric=opts.refine_featuremetric,
+        compute_dtype=getattr(jnp_mod, opts.compute_dtype),
     )
     step = mo.jit_pose_from_crops_multi(vit_cfg, config)
     warp_batch = make_warp_fn(opts.crop_size)
@@ -735,6 +746,8 @@ def infer_multi_object(opts: InferOpts) -> None:
         for lid in object_lids
     }
     multi_repre = stack_repres([repres[lid] for lid in object_lids])
+    if opts.compute_dtype != "float32":
+        multi_repre = multi_repre.cast_banks(getattr(jnp_mod, opts.compute_dtype))
     obj_to_idx = {lid: i for i, lid in enumerate(object_lids)}
     evaluators = {lid: EvaluatorPose([lid]) for lid in object_lids}
 

@@ -66,6 +66,23 @@ class ObjectRepre:
     def num_templates(self) -> int:
         return self.template_descs.shape[0]
 
+    def cast_banks(self, dtype) -> "ObjectRepre":
+        """Casts the heavy feature banks to `dtype` (e.g. bfloat16) AT REST:
+        halves repre HBM footprint and the bank-gather traffic of the
+        matching stage. Geometry (vertices, cameras) and the PCA projector
+        stay f32 — pose math precision is unaffected; the pipeline's
+        per-stage `astype(compute_dtype)` casts become no-ops."""
+
+        def cast(x):
+            return x.astype(dtype) if x is not None else None
+
+        return self.replace(
+            feat_vectors=cast(self.feat_vectors),
+            word_centroids=cast(self.word_centroids),
+            template_descs=cast(self.template_descs),
+            bank_feats=cast(self.bank_feats),
+        )
+
 
 def build_padded_banks(
     feat_vectors: np.ndarray,

@@ -220,3 +220,32 @@ def test_pose_from_features_bench_config(rng):
 # (A Pallas dual-argmin buddies kernel existed in round 1 but measured slower
 # than XLA's fused distance-matrix path end-to-end, so it was removed; see
 # pose/corresp.py:establish_correspondences_batch.)
+
+
+def test_cast_banks_bf16_pipeline(rng):
+    """bf16 banks at rest: pipeline runs and recovers GT with the repre's
+    heavy arrays stored in bfloat16."""
+    import jax.numpy as jnp2
+
+    repre, obj_points, obj_feats, tpl_point_ids = make_synthetic_world(rng)
+    repre16 = repre.cast_banks(jnp2.bfloat16)
+    assert repre16.bank_feats.dtype == jnp2.bfloat16
+    assert repre16.template_descs.dtype == jnp2.bfloat16
+    assert repre16.bank_vertices.dtype == repre.bank_vertices.dtype  # geometry f32
+
+    fmap, mask, camera, r_gt, t_gt = render_synthetic_query(
+        rng, obj_points, obj_feats, tpl_point_ids, 4
+    )
+    cameras = jax.tree.map(lambda *x: jnp.stack(x), camera)
+    config = inference.InferenceConfig(
+        top_n_templates=3, top_k_buddies=60, pnp_ransac_iter=200,
+        compute_dtype=jnp2.bfloat16,
+    )
+    out = inference.pose_from_features(
+        jnp.asarray(fmap)[None], jnp.asarray(mask)[None], cameras, repre16,
+        jax.random.PRNGKey(0), config,
+    )
+    assert bool(out.success[0])
+    rot_err = float(geometry.rotation_error_deg(out.R_m2c[0], jnp.asarray(r_gt)))
+    assert rot_err < 8.0, rot_err
+    np.testing.assert_allclose(np.asarray(out.t_m2c[0]), t_gt, atol=0.03)
