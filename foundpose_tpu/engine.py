@@ -43,6 +43,10 @@ class PoseEngine:
         self.batch_size = batch_size
         self._repres: Dict[int, ObjectRepre] = {}
         self._step = inference.jit_pose_from_crops(self.vit_cfg, self.config)
+        # Jitted batched crop warp, compiled once per source image shape.
+        from foundpose_tpu.pipeline.infer import make_warp_fn
+
+        self._warp_batch = make_warp_fn(self.config.crop_size)
         self._counter = 0
 
     def register_object(self, obj_id: int, repre: ObjectRepre) -> None:
@@ -86,45 +90,62 @@ class PoseEngine:
 
         n = len(boxes_xyxy)
         crop_cams = []
-        crops = []
-        crop_masks = []
-        for i, box in enumerate(boxes_xyxy):
+        for box in boxes_xyxy:
             crop_box = cam_mod.calc_crop_box(jnp.asarray(box, dtype=jnp.float32))
-            crop_cam = cam_mod.construct_crop_camera(
-                box=crop_box,
-                camera_c2w=orig_cam,
-                viewport_size=self.config.crop_size,
-                viewport_rel_pad=0.2,
-            )
-            crop_cams.append(crop_cam)
-            crops.append(warp_mod.warp_image(orig_cam, crop_cam, jnp.asarray(img)))
-            m = None if masks is None else masks[i]
-            if m is None:
-                m = np.ones((h, w), np.float32)
-            crop_masks.append(
-                warp_mod.warp_image(
-                    orig_cam, crop_cam, jnp.asarray(m.astype(np.float32)),
-                    interpolation="nearest",
+            crop_cams.append(
+                cam_mod.construct_crop_camera(
+                    box=crop_box,
+                    camera_c2w=orig_cam,
+                    viewport_size=self.config.crop_size,
+                    viewport_rel_pad=0.2,
                 )
             )
+        # One jitted batched warp for all detections of the image.
+        dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
+        src_cams = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape), orig_cam
+        )
+        images = jnp.broadcast_to(jnp.asarray(img), (n,) + img.shape)
+        mask_stack = jnp.asarray(
+            np.stack(
+                [
+                    (masks[i] if masks is not None and masks[i] is not None
+                     else np.ones((h, w))).astype(np.float32)
+                    for i in range(n)
+                ]
+            )
+        )
+        crops, crop_masks = self._warp_batch(images, mask_stack, src_cams, dst_cams)
 
-        # Pad to the engine batch size (fixed compiled shape).
+        # Pad to the engine batch size (fixed compiled shape) and dispatch ALL
+        # chunks before fetching any: jax dispatch is asynchronous, so device
+        # compute of chunk k+1 overlaps the host-side unpacking of chunk k.
         bs = self.batch_size
-        out_all: List[Dict[str, Any]] = []
+        dispatched = []
         for s in range(0, n, bs):
             chunk = list(range(s, min(s + bs, n)))
             pad = bs - len(chunk)
-            idx = chunk + [chunk[-1]] * pad
-            batch_crops = jnp.stack([crops[i] for i in idx])
-            batch_masks = jnp.stack([crop_masks[i] for i in idx])
+            idx = jnp.asarray(chunk + [chunk[-1]] * pad)
+            batch_crops = crops[idx]
+            batch_masks = crop_masks[idx]
             batch_cams = jax.tree.map(
-                lambda *x: jnp.stack(x), *[crop_cams[i] for i in idx]
+                lambda *x: jnp.stack(x), *[crop_cams[i] for i in chunk]
+            )
+            batch_cams = jax.tree.map(
+                lambda x: jnp.concatenate(
+                    [x] + [x[-1:]] * pad, axis=0
+                ) if pad else x,
+                batch_cams,
             )
             self._counter += 1
             out = self._step(
                 self.vit_params, batch_crops, batch_masks, batch_cams, repre,
                 jax.random.PRNGKey(self._counter),
             )
+            dispatched.append((chunk, out))
+
+        out_all: List[Dict[str, Any]] = []
+        for chunk, out in dispatched:
             out_np = jax.tree.map(np.asarray, out)
             for j, i in enumerate(chunk):
                 out_all.append(

@@ -196,16 +196,25 @@ def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
 def _attention(x: Array, p: Dict[str, Array], cfg: DinoV2Config) -> Array:
     b, t, d = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
+    if cfg.use_pallas_attention:
+        from foundpose_tpu.ops.attention import fused_attention_bhtd
+
+        # Head-major path with zero explicit layout transposes: the
+        # [B,T,D]->[B,H,T,Dh] transpose folds into the qkv matmul's output
+        # and the head re-merge folds into the projection matmul's input
+        # (XLA emits them as MXU epilogues, not separate HBM passes).
+        w = p["qkv_kernel"].reshape(d, 3, nh, hd)
+        bias = p["qkv_bias"].reshape(3, nh, hd)
+        qkv = jnp.einsum("btd,dkhe->kbhte", x, w) + bias[:, None, :, None, :]
+        out = fused_attention_bhtd(qkv[0], qkv[1], qkv[2])  # [B, H, T, Dh]
+        wo = p["proj_kernel"].reshape(nh, hd, d)
+        return jnp.einsum("bhte,hed->btd", out, wo) + p["proj_bias"]
+
     qkv = x @ p["qkv_kernel"] + p["qkv_bias"]  # [B, T, 3D]
     qkv = qkv.reshape(b, t, 3, nh, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, T, nh, hd]
-    if cfg.use_pallas_attention:
-        from foundpose_tpu.ops.attention import fused_attention
-
-        out = fused_attention(q, k, v)
-    else:
-        # jax's fused SDPA (maps to an efficient attention on TPU).
-        out = jax.nn.dot_product_attention(q, k, v)
+    # jax's fused SDPA (maps to an efficient attention on TPU).
+    out = jax.nn.dot_product_attention(q, k, v)
     out = out.reshape(b, t, d)
     return out @ p["proj_kernel"] + p["proj_bias"]
 

@@ -29,16 +29,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [BLK_Q, Dh]
-    k = k_ref[0].astype(jnp.float32)  # [T_pad, Dh]
-    v = v_ref[0].astype(jnp.float32)  # [T_pad, Dh]
+    # Matmuls run in the INPUT dtype (bf16 on the bench path — full MXU rate;
+    # f32 inputs would halve it) with f32 accumulation; the softmax runs in
+    # f32 regardless.
+    q = q_ref[0]  # [BLK_Q, Dh]
+    k = k_ref[0]  # [T_pad, Dh]
+    v = v_ref[0]  # [T_pad, Dh]
 
     logits = jax.lax.dot_general(
-        q * scale,
+        q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [BLK_Q, T_pad]
+    ) * scale  # [BLK_Q, T_pad] f32
 
     t_pad = logits.shape[-1]
     if t_pad != seq_len:
@@ -48,7 +51,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    weights = p / denom
+    weights = (p / denom).astype(v.dtype)
 
     out = jax.lax.dot_general(
         weights,
@@ -59,32 +62,22 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, scale: float)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def fused_attention(
-    q: Array, k: Array, v: Array, block_q: int = 256, interpret: bool = False
+def _attention_flat(
+    qb: Array, kb: Array, vb: Array, t: int, block_q: int, interpret: bool
 ) -> Array:
-    """Multi-head attention: q,k,v [B, T, H, Dh] -> [B, T, H, Dh].
-
-    Matches jax.nn.dot_product_attention (scale = Dh^-0.5, no mask beyond
-    padding). T is padded internally to a multiple of 128.
-    """
-    b, t, h, dh = q.shape
+    """Runs the kernel on [BH, T, Dh] inputs; pads T to the 128-lane tile."""
+    bh, _, dh = qb.shape
     scale = dh ** -0.5
     t_pad = _round_up(t, 128)
     block_q = min(block_q, t_pad)
+    if t_pad != t:
+        pad = ((0, 0), (0, t_pad - t), (0, 0))
+        qb, kb, vb = (jnp.pad(x, pad) for x in (qb, kb, vb))
 
-    def to_bht(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, dh)
-        if t_pad != t:
-            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
-        return x
-
-    qb, kb, vb = to_bht(q), to_bht(k), to_bht(v)
-
-    grid = (b * h, t_pad // block_q)
+    grid = (bh, t_pad // block_q)
     out = pl.pallas_call(
         functools.partial(_attention_kernel, seq_len=t, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, t_pad, dh), qb.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
@@ -98,6 +91,44 @@ def fused_attention(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qb, kb, vb)
+    return out[:, :t]
 
-    out = out[:, :t].reshape(b, h, t, dh)
-    return jnp.transpose(out, (0, 2, 1, 3))
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def fused_attention(
+    q: Array, k: Array, v: Array, block_q: int = 256, interpret: bool = False
+) -> Array:
+    """Multi-head attention: q,k,v [B, T, H, Dh] -> [B, T, H, Dh].
+
+    Matches jax.nn.dot_product_attention (scale = Dh^-0.5, no mask beyond
+    padding). T is padded internally to a multiple of 128. NOTE: this entry
+    pays two [B, T, H, Dh] <-> [B*H, T, Dh] layout transposes; prefer
+    fused_attention_bhtd when the producer/consumer matmuls can emit/consume
+    the head-major layout directly.
+    """
+    b, t, h, dh = q.shape
+
+    def to_bht(x):
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, dh)
+
+    out = _attention_flat(to_bht(q), to_bht(k), to_bht(v), t, block_q, interpret)
+    return jnp.transpose(out.reshape(b, h, t, dh), (0, 2, 1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def fused_attention_bhtd(
+    q: Array, k: Array, v: Array, block_q: int = 256, interpret: bool = False
+) -> Array:
+    """Multi-head attention in head-major layout: [B, H, T, Dh] -> [B, H, T, Dh].
+
+    The [B, H, T, Dh] -> [B*H, T, Dh] reshape is free (adjacent contiguous
+    dims), so no layout transposes touch HBM — the caller folds the
+    head-major transposes into its qkv / output-projection matmuls instead
+    (models/dinov2.py _attention).
+    """
+    b, h, t, dh = q.shape
+    out = _attention_flat(
+        q.reshape(b * h, t, dh), k.reshape(b * h, t, dh),
+        v.reshape(b * h, t, dh), t, block_q, interpret,
+    )
+    return out.reshape(b, h, t, dh)

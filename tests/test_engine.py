@@ -28,6 +28,9 @@ def test_engine_estimates_batch(rng, monkeypatch):
     eng.batch_size = 2
     eng._repres = {}
     eng._step = inference.jit_pose_from_crops(cfg, eng.config)
+    from foundpose_tpu.pipeline.infer import make_warp_fn
+
+    eng._warp_batch = make_warp_fn(eng.config.crop_size)
     eng._counter = 0
 
     repre, *_ = make_synthetic_world(rng, feat_dim=32)
