@@ -74,7 +74,7 @@ def main():
     # traffic (AR-level equivalence: tests/test_fastpath_ar.py).
     repre = repre.cast_banks(jnp.bfloat16)
 
-    batch = 64
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     # Inputs generated on device (host uploads are slow on tunneled backends).
     kc, km = jax.random.split(jax.random.PRNGKey(7))
     crops = jax.random.uniform(kc, (batch, 420, 420, 3), jnp.float32)
