@@ -32,8 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # reference-favoring hardware adjustment. We use the adjusted (higher) figure.
 REFERENCE_CROPS_PER_SEC = 18.85
 
-# TPU v5e peak: 197 TFLOP/s bf16 per chip.
-PEAK_FLOPS = {"v5e": 197e12}.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
+# Per-chip bf16 peaks by TPU generation (MFU denominator); unknown
+# generations fail loudly rather than reporting MFU against the wrong peak.
+_PEAKS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
+_GEN = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+if _GEN not in _PEAKS:
+    raise SystemExit(f"unknown TPU generation {_GEN!r}; add its bf16 peak to _PEAKS")
+PEAK_FLOPS = _PEAKS[_GEN]
 
 
 def main():
@@ -66,6 +71,10 @@ def main():
         # Pallas fused attention: ~12x over XLA SDPA at 905 tokens (keeps the
         # 905x905 logits in VMEM instead of HBM).
         use_pallas_attention=True,
+        # tanh GELU: the exact erf between the MLP matmuls costs ~1 ms/layer;
+        # max deviation 5e-4, below bf16 activation noise
+        # (tests/test_dinov2.py::test_approx_gelu_feature_parity).
+        approx_gelu=True,
     )
     params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
     repre = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,
@@ -226,12 +235,16 @@ def main():
         stage_ms = {k: round(v * 1000, 2) for k, v in stages.items()}
         device_crops_per_sec = round(batch / sum(stages.values()), 2)
 
+    stage_note = (
+        f"; device-only {device_crops_per_sec} crops/sec; "
+        f"stage ms/batch: {stage_ms}; cost_analysis lower bound: {ca_flops}"
+        if stage_ms is not None
+        else ""
+    )
     print(
         f"[bench] {batch=} {n_iters=} elapsed={elapsed:.3f}s "
         f"-> {crops_per_sec:.2f} crops/sec (scan-loop wall, one dispatch); "
-        f"device-only {device_crops_per_sec} crops/sec; "
-        f"stage ms/batch: {stage_ms}; analytic flops/step={step_flops:.3g} "
-        f"(cost_analysis lower bound: {ca_flops}); mfu={mfu:.4f}",
+        f"analytic flops/step={step_flops:.3g}; mfu={mfu:.4f}{stage_note}",
         file=sys.stderr,
     )
     result = {

@@ -69,6 +69,7 @@ def main():
         bop_root=args.bop_root,
         output_dir=templates_dir,
         overwrite=False,
+        resume=True,
     )
     gt.synthesize_templates(tpl_opts)
 
@@ -83,6 +84,7 @@ def main():
         templates_dir=templates_dir,
         output_dir=repre_dir,
         overwrite=False,
+        resume=True,
     )
     gr.generate_repre_from_list(rep_opts)
 

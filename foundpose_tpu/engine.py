@@ -5,12 +5,14 @@ ships batch CLIs): the engine holds the ViT parameters and any number of
 object representations resident in HBM, compiles one fixed-shape step per
 (object, batch-size) pair, and serves `estimate()` calls — full images with
 detection boxes/masks in, world-frame poses out. Batches are padded to the
-configured size so every call after the first reuses the compiled program.
+configured size so every call after the first reuses the compiled program;
+chunks are all dispatched before any result is fetched, so device compute
+overlaps host-side unpacking (jax dispatch is asynchronous).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -19,6 +21,32 @@ from foundpose_tpu.models import dinov2, weights as weights_mod
 from foundpose_tpu.pipeline import inference
 from foundpose_tpu.repre import ObjectRepre
 from foundpose_tpu.structs import PinholeCamera
+
+
+def _make_single_image_warp(crop_size: Tuple[int, int]):
+    """Jitted warp of ONE image into many crop cameras (image and source
+    camera are closed over the vmap, so no [n, H, W, 3] image copies are
+    materialized — only the per-detection masks are inherently batched)."""
+    import jax
+
+    from foundpose_tpu.ops import warp as warp_mod
+
+    @jax.jit
+    def warp(image, masks, src_cam: PinholeCamera, dst_cams: PinholeCamera):
+        def one(msk, df, dc, dt):
+            dst = PinholeCamera(f=df, c=dc, T_world_from_eye=dt,
+                                width=crop_size[0], height=crop_size[1])
+            out_img = warp_mod.warp_image(src_cam, dst, image,
+                                          interpolation="area2x")
+            out_msk = warp_mod.warp_image(src_cam, dst, msk,
+                                          interpolation="nearest")
+            return out_img, out_msk
+
+        return jax.vmap(one)(
+            masks, dst_cams.f, dst_cams.c, dst_cams.T_world_from_eye
+        )
+
+    return warp
 
 
 class PoseEngine:
@@ -43,10 +71,7 @@ class PoseEngine:
         self.batch_size = batch_size
         self._repres: Dict[int, ObjectRepre] = {}
         self._step = inference.jit_pose_from_crops(self.vit_cfg, self.config)
-        # Jitted batched crop warp, compiled once per source image shape.
-        from foundpose_tpu.pipeline.infer import make_warp_fn
-
-        self._warp_batch = make_warp_fn(self.config.crop_size)
+        self._warp_single = _make_single_image_warp(self.config.crop_size)
         self._multi_cache = None
         self._counter = 0
 
@@ -57,6 +82,87 @@ class PoseEngine:
     @property
     def object_ids(self) -> List[int]:
         return sorted(self._repres)
+
+    # -- shared prep / dispatch -----------------------------------------------
+
+    def _prepare_crops(self, image, boxes_xyxy, masks, K):
+        """Crop cameras + batched warped crops/masks for one image."""
+        import jax
+        import jax.numpy as jnp
+
+        h, w = image.shape[:2]
+        img = image.astype(np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        orig_cam = PinholeCamera.from_intrinsic_matrix(K, width=w, height=h)
+
+        crop_cams = []
+        for box in boxes_xyxy:
+            crop_box = cam_mod.calc_crop_box(jnp.asarray(box, dtype=jnp.float32))
+            crop_cams.append(
+                cam_mod.construct_crop_camera(
+                    box=crop_box, camera_c2w=orig_cam,
+                    viewport_size=self.config.crop_size, viewport_rel_pad=0.2,
+                )
+            )
+        dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
+        mask_stack = jnp.asarray(
+            np.stack(
+                [
+                    np.asarray(m if m is not None else np.ones((h, w))).astype(
+                        np.float32
+                    )
+                    for m in masks
+                ]
+            )
+        )
+        crops, crop_masks = self._warp_single(
+            jnp.asarray(img), mask_stack, orig_cam, dst_cams
+        )
+        return crop_cams, crops, crop_masks
+
+    def _dispatch_chunks(self, n, crop_cams, step_fn):
+        """Pads index chunks to the engine batch size, dispatches every chunk
+        (async), then fetches + unpacks. `step_fn(idx, chunk, batch_cams)`
+        runs the compiled step for one padded chunk."""
+        import jax
+        import jax.numpy as jnp
+
+        bs = self.batch_size
+        dispatched = []
+        for s in range(0, n, bs):
+            chunk = list(range(s, min(s + bs, n)))
+            pad = bs - len(chunk)
+            idx = jnp.asarray(chunk + [chunk[-1]] * pad)
+            batch_cams = jax.tree.map(
+                lambda *x: jnp.stack(x), *[crop_cams[i] for i in chunk]
+            )
+            if pad:
+                batch_cams = jax.tree.map(
+                    lambda x: jnp.concatenate([x] + [x[-1:]] * pad, axis=0),
+                    batch_cams,
+                )
+            dispatched.append((chunk, step_fn(idx, chunk, batch_cams)))
+
+        out_all: List[Dict[str, Any]] = []
+        for chunk, out in dispatched:
+            out_np = jax.tree.map(np.asarray, out)
+            for j, i in enumerate(chunk):
+                out_all.append(
+                    {
+                        "success": bool(out_np.success[j]),
+                        # world == image camera for engine calls.
+                        "R_m2c": out_np.R_m2w[j],
+                        "t_m2c": out_np.t_m2w[j],
+                        "quality": float(out_np.quality[j]),
+                        "score": float(out_np.score[j]),
+                        "best_template": int(out_np.best_template[j]),
+                        "crop_camera": crop_cams[i],
+                    }
+                )
+        return out_all
+
+    # -- public API -------------------------------------------------------------
 
     def estimate(
         self,
@@ -79,87 +185,24 @@ class PoseEngine:
             (image camera == world here).
         """
         import jax
-        import jax.numpy as jnp
 
+        if len(boxes_xyxy) == 0:
+            return []
         repre = self._repres[obj_id]
-        h, w = image.shape[:2]
-        img = image.astype(np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        orig_cam = PinholeCamera.from_intrinsic_matrix(K, width=w, height=h)
-
         n = len(boxes_xyxy)
-        crop_cams = []
-        for box in boxes_xyxy:
-            crop_box = cam_mod.calc_crop_box(jnp.asarray(box, dtype=jnp.float32))
-            crop_cams.append(
-                cam_mod.construct_crop_camera(
-                    box=crop_box,
-                    camera_c2w=orig_cam,
-                    viewport_size=self.config.crop_size,
-                    viewport_rel_pad=0.2,
-                )
-            )
-        # One jitted batched warp for all detections of the image.
-        dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
-        src_cams = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n,) + x.shape), orig_cam
+        mask_seq = masks if masks is not None else [None] * n
+        crop_cams, crops, crop_masks = self._prepare_crops(
+            image, boxes_xyxy, mask_seq, K
         )
-        images = jnp.broadcast_to(jnp.asarray(img), (n,) + img.shape)
-        mask_stack = jnp.asarray(
-            np.stack(
-                [
-                    (masks[i] if masks is not None and masks[i] is not None
-                     else np.ones((h, w))).astype(np.float32)
-                    for i in range(n)
-                ]
-            )
-        )
-        crops, crop_masks = self._warp_batch(images, mask_stack, src_cams, dst_cams)
 
-        # Pad to the engine batch size (fixed compiled shape) and dispatch ALL
-        # chunks before fetching any: jax dispatch is asynchronous, so device
-        # compute of chunk k+1 overlaps the host-side unpacking of chunk k.
-        bs = self.batch_size
-        dispatched = []
-        for s in range(0, n, bs):
-            chunk = list(range(s, min(s + bs, n)))
-            pad = bs - len(chunk)
-            idx = jnp.asarray(chunk + [chunk[-1]] * pad)
-            batch_crops = crops[idx]
-            batch_masks = crop_masks[idx]
-            batch_cams = jax.tree.map(
-                lambda *x: jnp.stack(x), *[crop_cams[i] for i in chunk]
-            )
-            batch_cams = jax.tree.map(
-                lambda x: jnp.concatenate(
-                    [x] + [x[-1:]] * pad, axis=0
-                ) if pad else x,
-                batch_cams,
-            )
+        def step_fn(idx, chunk, batch_cams):
             self._counter += 1
-            out = self._step(
-                self.vit_params, batch_crops, batch_masks, batch_cams, repre,
-                jax.random.PRNGKey(self._counter),
+            return self._step(
+                self.vit_params, crops[idx], crop_masks[idx], batch_cams,
+                repre, jax.random.PRNGKey(self._counter),
             )
-            dispatched.append((chunk, out))
 
-        out_all: List[Dict[str, Any]] = []
-        for chunk, out in dispatched:
-            out_np = jax.tree.map(np.asarray, out)
-            for j, i in enumerate(chunk):
-                out_all.append(
-                    {
-                        "success": bool(out_np.success[j]),
-                        "R_m2c": out_np.R_m2w[j],  # world == image camera
-                        "t_m2c": out_np.t_m2w[j],
-                        "quality": float(out_np.quality[j]),
-                        "score": float(out_np.score[j]),
-                        "best_template": int(out_np.best_template[j]),
-                        "crop_camera": crop_cams[i],
-                    }
-                )
-        return out_all
+        return self._dispatch_chunks(n, crop_cams, step_fn)
 
     def _multi_step(self):
         """Lazily builds (obj_id order, stacked repre, jitted mixed step)."""
@@ -194,84 +237,28 @@ class PoseEngine:
         import jax
         import jax.numpy as jnp
 
+        if len(detections) == 0:
+            return []
         order, multi, step = self._multi_step()
         obj_to_idx = {o: i for i, o in enumerate(order)}
-        h, w = image.shape[:2]
-        img = image.astype(np.float32)
-        if img.max() > 1.5:
-            img = img / 255.0
-        orig_cam = PinholeCamera.from_intrinsic_matrix(K, width=w, height=h)
-
         n = len(detections)
-        crop_cams = []
-        for det in detections:
-            crop_box = cam_mod.calc_crop_box(
-                jnp.asarray(det["box_xyxy"], dtype=jnp.float32)
-            )
-            crop_cams.append(
-                cam_mod.construct_crop_camera(
-                    box=crop_box, camera_c2w=orig_cam,
-                    viewport_size=self.config.crop_size, viewport_rel_pad=0.2,
-                )
-            )
-        dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
-        src_cams = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (n,) + x.shape), orig_cam
+        crop_cams, crops, crop_masks = self._prepare_crops(
+            image,
+            [d["box_xyxy"] for d in detections],
+            [d.get("mask") for d in detections],
+            K,
         )
-        images = jnp.broadcast_to(jnp.asarray(img), (n,) + img.shape)
-        mask_stack = jnp.asarray(
-            np.stack(
-                [
-                    np.asarray(
-                        det.get("mask")
-                        if det.get("mask") is not None
-                        else np.ones((h, w))
-                    ).astype(np.float32)
-                    for det in detections
-                ]
-            )
-        )
-        crops, crop_masks = self._warp_batch(images, mask_stack, src_cams, dst_cams)
 
-        bs = self.batch_size
-        dispatched = []
-        for s in range(0, n, bs):
-            chunk = list(range(s, min(s + bs, n)))
-            pad = bs - len(chunk)
-            idx = jnp.asarray(chunk + [chunk[-1]] * pad)
-            batch_cams = jax.tree.map(
-                lambda *x: jnp.stack(x), *[crop_cams[i] for i in chunk]
-            )
-            batch_cams = jax.tree.map(
-                lambda x: jnp.concatenate([x] + [x[-1:]] * pad, axis=0)
-                if pad else x,
-                batch_cams,
-            )
+        def step_fn(idx, chunk, batch_cams):
+            pad = self.batch_size - len(chunk)
             obj_idx = jnp.asarray(
-                [obj_to_idx[detections[i]["obj_id"]] for i in chunk]
-                + [0] * pad,
+                [obj_to_idx[detections[i]["obj_id"]] for i in chunk] + [0] * pad,
                 dtype=jnp.int32,
             )
             self._counter += 1
-            out = step(
+            return step(
                 self.vit_params, crops[idx], crop_masks[idx], batch_cams,
                 obj_idx, multi, jax.random.PRNGKey(self._counter),
             )
-            dispatched.append((chunk, out))
 
-        out_all: List[Dict[str, Any]] = []
-        for chunk, out in dispatched:
-            out_np = jax.tree.map(np.asarray, out)
-            for j, i in enumerate(chunk):
-                out_all.append(
-                    {
-                        "success": bool(out_np.success[j]),
-                        "R_m2c": out_np.R_m2w[j],
-                        "t_m2c": out_np.t_m2w[j],
-                        "quality": float(out_np.quality[j]),
-                        "score": float(out_np.score[j]),
-                        "best_template": int(out_np.best_template[j]),
-                        "crop_camera": crop_cams[i],
-                    }
-                )
-        return out_all
+        return self._dispatch_chunks(n, crop_cams, step_fn)

@@ -21,6 +21,7 @@ import numpy as np
 from PIL import Image
 
 from foundpose_tpu import geometry
+from foundpose_tpu.data import bop
 from foundpose_tpu.models import dinov2, weights as weights_mod
 from foundpose_tpu.ops import morphology, sampling
 from foundpose_tpu.ops.kmeans import kmeans
@@ -65,6 +66,8 @@ class GenRepreOpts:
     batch_size: int = 16
     use_pallas_attention: bool = False
     overwrite: bool = False
+    # Skip objects whose repre.npz already exists (stage-level resume).
+    resume: bool = False
 
     templates_dir: str = ""
     output_dir: str = ""
@@ -301,7 +304,8 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
         logger.warning("No DINOv2 weights_path given; using random init.")
         vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
 
-    object_lids = opts.object_lids or []
+    # Default to every object of the dataset, matching gen_templates/infer.
+    object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])
     for lid in object_lids:
         log_heading(logger, f"Building repre for object {lid}")
         templates_dir = os.path.join(
@@ -313,6 +317,9 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
             opts.output_dir, opts.object_dataset, opts.version, str(lid)
         )
         if os.path.exists(output_dir) and not opts.overwrite:
+            if opts.resume and os.path.exists(os.path.join(output_dir, "repre.npz")):
+                logger.info(f"Resume: repre exists for object {lid}, skipping.")
+                continue
             raise ValueError(f"Output dir exists (overwrite=False): {output_dir}")
         os.makedirs(output_dir, exist_ok=True)
         config_util.save_opts(opts, os.path.join(output_dir, "config.json"))

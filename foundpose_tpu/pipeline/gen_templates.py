@@ -56,6 +56,9 @@ class GenTemplatesOpts:
     crop_size: Tuple[int, int] = (420, 420)
 
     overwrite: bool = False
+    # Skip objects whose metadata.json already exists (stage-level resume;
+    # overwrite=False still raises on partial/unknown existing dirs).
+    resume: bool = False
 
     # Paths (bop_root + output_dir replace the reference's env-var roots).
     bop_root: str = ""
@@ -236,6 +239,11 @@ def synthesize_templates(opts: GenTemplatesOpts) -> None:
             opts.output_dir, opts.object_dataset, opts.version, str(lid)
         )
         if os.path.exists(output_dir) and not opts.overwrite:
+            if opts.resume and os.path.exists(
+                os.path.join(output_dir, "metadata.json")
+            ):
+                logger.info(f"Resume: templates exist for object {lid}, skipping.")
+                continue
             raise ValueError(f"Output dir exists (overwrite=False): {output_dir}")
         os.makedirs(output_dir, exist_ok=True)
         config_util.save_opts(opts, os.path.join(output_dir, "config.json"))

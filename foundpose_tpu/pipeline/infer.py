@@ -310,6 +310,7 @@ def save_visualization(
     obj_id: int,
     out_path: str,
     max_corresp: int = 100,
+    inlier_radius: float = 10.0,
 ) -> None:
     """Saves the per-estimate tile grid (reference: scripts/infer.py:746-802)."""
     import jax
@@ -347,15 +348,16 @@ def save_visualization(
 
     # Inlier/outlier mask of the shown correspondences under the estimated
     # pose (crop camera; reference: utils/vis_util.py inlier tiles).
-    cam3d = np.asarray(r["corresp_3d"]) @ np.asarray(r["R_m2c"]).T + np.asarray(
-        r["t_m2c"]
-    )
-    z = np.where(np.abs(cam3d[:, 2:3]) < 1e-9, 1e-9, cam3d[:, 2:3])
-    proj = cam3d[:, :2] / z * np.asarray(p.crop_camera.f) + np.asarray(
-        p.crop_camera.c
+    from foundpose_tpu.eval.evaluator import _project_points
+
+    proj = _project_points(
+        np.asarray(r["R_m2c"]), np.asarray(r["t_m2c"]),
+        np.asarray(r["corresp_3d"], dtype=np.float64),
+        np.asarray(p.crop_camera.f, dtype=np.float64),
+        np.asarray(p.crop_camera.c, dtype=np.float64),
     )
     dist = np.linalg.norm(proj - np.asarray(r["corresp_2d"]), axis=1)
-    inlier_mask = (dist <= 10.0)[valid][:max_corresp]
+    inlier_mask = (dist <= inlier_radius)[valid][:max_corresp]
 
     grid = inference_vis.vis_inference_results(
         p.crop_image,
@@ -518,6 +520,7 @@ def infer(opts: InferOpts) -> None:
                 save_visualization(
                     p, r, repre, renderer, lid, path,
                     max_corresp=opts.vis_corresp_top_n,
+                    inlier_radius=opts.pnp_inlier_thresh,
                 )
                 vis_images.append((r, path))
                 if p.gt is not None:

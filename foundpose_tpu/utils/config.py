@@ -204,19 +204,26 @@ def load_opts(
                         default=[])
     hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
-        default = (
-            f.default
-            if f.default is not dataclasses.MISSING
-            else (f.default_factory() if f.default_factory is not dataclasses.MISSING
-                  else None)
-        )
-        _add_field_arg(parser, f.name, hints[f.name], default)
+        # default=None so only EXPLICITLY passed flags appear in `data`
+        # (dataclass defaults fill in via from_dict; layered --opts-extra
+        # values must not be masked by argparse defaults).
+        _add_field_arg(parser, f.name, hints[f.name], None)
     ns = parser.parse_args(argv)
     data = {
         f.name: getattr(ns, f.name)
         for f in dataclasses.fields(cls)
         if getattr(ns, f.name) is not None
     }
+    # Layering without --opts-path: extras form the base envelope, explicit
+    # CLI flags override them, --set patches last.
+    envelope = {}
+    for extra in ns.opts_extra:
+        with open(extra) as f:
+            envelope = merge_json(envelope, json.load(f))
+    data = merge_json(envelope.get(key, {}), data)
+    for item in ns.set_overrides:
+        path, _, raw = item.partition("=")
+        data = merge_json_at_path(data, path, _parse_set_value(raw))
     return from_dict(cls, data)
 
 

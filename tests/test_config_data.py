@@ -225,3 +225,32 @@ def test_load_opts_layering_and_set(tmp_path):
         ],
     )
     assert opts.batch_size == 32 and opts.name == "patched"
+
+
+def test_load_opts_set_without_opts_path(tmp_path):
+    """--set / --opts-extra apply in the flag-only branch too."""
+    import dataclasses as dc
+    import json
+
+    from foundpose_tpu.utils.config import load_opts
+
+    @dc.dataclass(frozen=True)
+    class Demo2Opts:
+        name: str = "x"
+        batch_size: int = 4
+
+    opts = load_opts(Demo2Opts, argv=["--set", "batch_size=32"])
+    assert opts.batch_size == 32
+
+    extra = tmp_path / "extra.json"
+    extra.write_text(json.dumps({"demo2_opts": {"name": "layered"}}))
+    opts = load_opts(
+        Demo2Opts,
+        argv=["--opts-extra", str(extra), "--batch-size", "9"],
+    )
+    assert opts.name == "layered" and opts.batch_size == 9
+    # --set wins over explicit flags (it is the most explicit override).
+    opts = load_opts(
+        Demo2Opts, argv=["--batch-size", "9", "--set", "batch_size=11"]
+    )
+    assert opts.batch_size == 11

@@ -249,3 +249,25 @@ def test_weights_roundtrip_via_official_layout():
         np.testing.assert_allclose(
             np.asarray(back["blocks"][k]), np.asarray(params["blocks"][k]), atol=1e-6
         )
+
+
+def test_approx_gelu_feature_parity(rng):
+    """approx_gelu (tanh) features match the exact-erf model within bf16-level
+    noise (max |exact-tanh| gelu deviation is 5e-4; see DinoV2Config)."""
+    import dataclasses
+
+    cfg = dinov2.DinoV2Config(
+        variant="vits14", embed_dim=64, depth=4, num_heads=4, mlp_ratio=4.0,
+        swiglu=False, patch_size=14, num_register_tokens=4, pos_grid=8,
+        stride=14, facet="token", layer=3, apply_norm=True,
+    )
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(rng.uniform(size=(2, 112, 112, 3)).astype(np.float32))
+    exact = dinov2.extract_facet(params, cfg, imgs)["feature_maps"]
+    approx = dinov2.extract_facet(
+        params, dataclasses.replace(cfg, approx_gelu=True), imgs
+    )["feature_maps"]
+    scale = float(jnp.std(exact))
+    np.testing.assert_allclose(
+        np.asarray(approx), np.asarray(exact), atol=5e-3 * max(scale, 1.0)
+    )

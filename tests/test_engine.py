@@ -28,14 +28,16 @@ def test_engine_estimates_batch(rng, monkeypatch):
     eng.batch_size = 2
     eng._repres = {}
     eng._step = inference.jit_pose_from_crops(cfg, eng.config)
-    from foundpose_tpu.pipeline.infer import make_warp_fn
-
-    eng._warp_batch = make_warp_fn(eng.config.crop_size)
+    eng._warp_single = engine_mod._make_single_image_warp(eng.config.crop_size)
+    eng._multi_cache = None
     eng._counter = 0
 
     repre, *_ = make_synthetic_world(rng, feat_dim=32)
     eng.register_object(9, repre)
     assert eng.object_ids == [9]
+    # Empty detection lists are a routine serving case.
+    assert eng.estimate(9, np.zeros((48, 64, 3), np.uint8), [], np.eye(3)) == []
+    assert eng.estimate_mixed(np.zeros((48, 64, 3), np.uint8), [], np.eye(3)) == []
 
     image = (rng.uniform(size=(240, 320, 3)) * 255).astype(np.uint8)
     K = np.array([[300.0, 0, 159.5], [0, 300.0, 119.5], [0, 0, 1]])
@@ -73,9 +75,7 @@ def test_engine_estimate_mixed(rng):
     eng._repres = {}
     eng._multi_cache = None
     eng._step = inference.jit_pose_from_crops(cfg, eng.config)
-    from foundpose_tpu.pipeline.infer import make_warp_fn
-
-    eng._warp_batch = make_warp_fn(eng.config.crop_size)
+    eng._warp_single = engine_mod._make_single_image_warp(eng.config.crop_size)
     eng._counter = 0
 
     rng2 = np.random.default_rng(5)
