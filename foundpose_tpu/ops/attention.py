@@ -69,6 +69,9 @@ def _attention_flat(
     bh, _, dh = qb.shape
     scale = dh ** -0.5
     t_pad = _round_up(t, 128)
+    # Whole-sequence query blocks measure ~40% faster than 256-tiles at the
+    # 905-token bench shape (fewer grid invocations, K/V loads amortized);
+    # VMEM per invocation stays small (logits [block_q, T_pad] f32).
     block_q = min(block_q, t_pad)
     if t_pad != t:
         pad = ((0, 0), (0, t_pad - t), (0, 0))
@@ -96,7 +99,7 @@ def _attention_flat(
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def fused_attention(
-    q: Array, k: Array, v: Array, block_q: int = 256, interpret: bool = False
+    q: Array, k: Array, v: Array, block_q: int = 1024, interpret: bool = False
 ) -> Array:
     """Multi-head attention: q,k,v [B, T, H, Dh] -> [B, T, H, Dh].
 
@@ -117,7 +120,7 @@ def fused_attention(
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def fused_attention_bhtd(
-    q: Array, k: Array, v: Array, block_q: int = 256, interpret: bool = False
+    q: Array, k: Array, v: Array, block_q: int = 1024, interpret: bool = False
 ) -> Array:
     """Multi-head attention in head-major layout: [B, H, T, Dh] -> [B, H, T, Dh].
 

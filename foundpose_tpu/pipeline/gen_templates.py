@@ -47,6 +47,10 @@ class GenTemplatesOpts:
     depth_range: Optional[Tuple[float, float]] = None  # mm; None -> from diameter
 
     ssaa_factor: float = 4.0
+    # Schema parity with the reference; like there, these two are accepted
+    # but not consumed (the reference's pyrender path hardcodes its own
+    # camera spotlight + black background, reference gen_templates.py:55-56,
+    # renderer.py:244-266; our rasterizer's headlight approximates it).
     background_type: str = "black"
     light_type: str = "multi_directional"
 
