@@ -263,3 +263,37 @@ def test_evaluator_full_accumulators(rng, tmp_path):
     s = ev.summary()
     assert s["num_estimates"] == 2
     assert "inliers_est_err_mean" in s
+
+
+def test_evaluator_without_gt(rng, tmp_path):
+    """GT-less updates (the reference's update_without_anno path,
+    eval_util.py:231-300): estimate-side inliers still computed, GT fields
+    absent, JSON well-formed."""
+    ev = EvaluatorPose([4])
+    cam = PinholeCamera.create(
+        f=(600.0, 600.0), c=(320.0, 240.0), width=640, height=480
+    )
+    c3d = rng.uniform(-20, 20, size=(30, 3))
+    t_est = np.array([0, 0, 500.0])
+    cam_pts = c3d + t_est
+    c2d = cam_pts[:, :2] / cam_pts[:, 2:3] * 600.0 + np.array([320.0, 240.0])
+    rec = ev.update(
+        scene_id=1, im_id=2, inst_id=0, hypothesis_id=0, obj_id=4,
+        R_m2w=np.eye(3), t_m2w=t_est,
+        orig_camera_c2w=cam, score=0.9, time_per_inst={"t": 0.01},
+        camera_c2w=cam,
+        corresp={"coord_2d": c2d, "coord_2d_ids": np.arange(30),
+                 "coord_3d": c3d, "valid": np.ones(30, bool)},
+        inlier_radius=10.0,
+    )
+    assert rec.inliers_est == 30 and rec.inliers_est_err == {"10": 1.0}
+    assert rec.mssd is None and rec.inliers_gt is None
+
+    ev.detection_times[(1, 2)] = 0.0
+    path = str(tmp_path / "poses.json")
+    ev.save_results_json(path)
+    data = json.load(open(path))
+    assert "inliers_est" in data[0] and "mssd" not in data[0]
+    # The reference-layout table degrades gracefully with GT-less records.
+    ev.save_metrics(str(tmp_path / "m.tsv"))
+    assert "inliers_est" in open(tmp_path / "m.tsv").read()
