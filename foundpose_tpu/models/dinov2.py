@@ -66,6 +66,11 @@ class DinoV2Config:
     # the bench enables it (erf between the MLP matmuls costs ~1 ms/layer
     # at the bench shapes on v5e).
     approx_gelu: bool = False
+    # Whole transformer block as ONE Pallas kernel (ops/vit_block.py):
+    # activations + the layer's weights stay VMEM-resident through
+    # LN1->qkv->attention->proj->LN2->MLP, eliminating the unfused path's
+    # ~15 HBM round trips per layer. Not supported for SwiGLU (ViT-G).
+    use_fused_block: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -344,6 +349,26 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
     if upto == 0:
         return x
     sliced = jax.tree.map(lambda a: a[:upto].astype(x.dtype), blocks)
+
+    if cfg.use_fused_block and not cfg.swiglu:
+        from foundpose_tpu.ops.vit_block import fused_vit_block
+
+        b, t, d = x.shape
+        t_pad = -(-t // 128) * 128
+        xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+        def body(h, p):
+            return (
+                fused_vit_block(
+                    h, p, seq_len=t, num_heads=cfg.num_heads,
+                    head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
+                    approx_gelu=cfg.approx_gelu,
+                ),
+                None,
+            )
+
+        out, _ = jax.lax.scan(body, xp, sliced)
+        return out[:, :t]
 
     def body(h, p):
         return _block(h, p, cfg), None

@@ -1,0 +1,164 @@
+"""Fully-fused ViT transformer block as a single Pallas TPU kernel.
+
+One kernel invocation processes one image's whole token sequence through an
+entire pre-norm block — LN1 -> qkv -> per-head attention -> projection ->
+layer-scaled residual -> LN2 -> MLP -> layer-scaled residual — with the
+activations AND the block's weights resident in VMEM. The XLA graph for the
+same block makes ~15 HBM round trips per layer for intermediates (qkv, per
+-head attention inputs/outputs, MLP hidden); here only x enters and leaves.
+
+Design notes:
+- Grid is (B,): token count is padded to the 128-lane tile once by the
+  caller; padded QUERY rows produce garbage that stays in padded rows (LN
+  and the MLP are per-token), and padded KEYS are masked with -inf inside
+  the attention, so the final slice back to the true sequence length is
+  exact.
+- The softmax uses the transposed (keys-in-sublanes) layout; see
+  ops/attention.py for the measurement that motivates it.
+- All matmuls run in the input dtype (bf16 on the inference path) with f32
+  accumulation; LayerNorm statistics and softmax run in f32.
+- Enabled with DinoV2Config.use_fused_block; numerically equivalent to the
+  unfused path at bf16 tolerance (tests/test_vit_block.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _ln(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _block_kernel(
+    x_ref,
+    n1s_ref, n1b_ref, qkvw_ref, qkvb_ref, projw_ref, projb_ref, ls1_ref,
+    n2s_ref, n2b_ref, fc1w_ref, fc1b_ref, fc2w_ref, fc2b_ref, ls2_ref,
+    o_ref,
+    *,
+    seq_len: int,
+    num_heads: int,
+    head_dim: int,
+    eps: float,
+    approx_gelu: bool,
+):
+    x = x_ref[0]  # [T_pad, D]
+    d = x.shape[-1]
+    scale = head_dim ** -0.5
+
+    # ---- attention sublayer -------------------------------------------------
+    xn = _ln(x, n1s_ref[...], n1b_ref[...], eps)
+    qkv = (
+        jax.lax.dot(xn, qkvw_ref[...], preferred_element_type=jnp.float32)
+        + qkvb_ref[...].astype(jnp.float32)
+    ).astype(x.dtype)  # [T_pad, 3D]
+
+    t_pad = x.shape[0]
+    head_outs = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim : (h + 1) * head_dim]
+        k = qkv[:, d + h * head_dim : d + (h + 1) * head_dim]
+        v = qkv[:, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+        # Transposed logits: softmax over keys reduces along sublanes.
+        logits_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [T_pad(keys), T_pad(queries)]
+        if t_pad != seq_len:
+            key_ids = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 0)
+            logits_t = jnp.where(key_ids < seq_len, logits_t, -jnp.inf)
+        m = jnp.max(logits_t, axis=0, keepdims=True)
+        p = jnp.exp(logits_t - m)
+        w = (p / jnp.sum(p, axis=0, keepdims=True)).astype(v.dtype)
+        head_outs.append(
+            jax.lax.dot_general(
+                w, v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        )  # [T_pad, head_dim]
+    attn = jnp.concatenate(head_outs, axis=-1)  # [T_pad, D]
+    y = (
+        jax.lax.dot(attn, projw_ref[...], preferred_element_type=jnp.float32)
+        + projb_ref[...].astype(jnp.float32)
+    ).astype(x.dtype)
+    x = x + ls1_ref[...].astype(x.dtype) * y
+
+    # ---- MLP sublayer -------------------------------------------------------
+    xn2 = _ln(x, n2s_ref[...], n2b_ref[...], eps)
+    h1 = (
+        jax.lax.dot(xn2, fc1w_ref[...], preferred_element_type=jnp.float32)
+        + fc1b_ref[...].astype(jnp.float32)
+    )
+    h1 = jax.nn.gelu(h1, approximate=approx_gelu).astype(x.dtype)
+    y2 = (
+        jax.lax.dot(h1, fc2w_ref[...], preferred_element_type=jnp.float32)
+        + fc2b_ref[...].astype(jnp.float32)
+    ).astype(x.dtype)
+    o_ref[0] = x + ls2_ref[...].astype(x.dtype) * y2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_len", "num_heads", "head_dim", "eps", "approx_gelu",
+                     "interpret"),
+)
+def fused_vit_block(
+    x: Array,
+    p: Dict[str, Array],
+    seq_len: int,
+    num_heads: int,
+    head_dim: int,
+    eps: float = 1e-6,
+    approx_gelu: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """One transformer block over [B, T_pad, D] tokens (T_pad a multiple of
+    128; rows >= seq_len are padding). `p` holds one layer's (unstacked)
+    parameters in the models/dinov2.py naming."""
+    b, t_pad, d = x.shape
+    hidden = p["fc1_kernel"].shape[-1]
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _block_kernel, seq_len=seq_len, num_heads=num_heads,
+            head_dim=head_dim, eps=eps, approx_gelu=approx_gelu,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((d,)), rep((d,)),                 # norm1 scale/bias
+            rep((d, 3 * d)), rep((3 * d,)),       # qkv
+            rep((d, d)), rep((d,)),               # proj
+            rep((d,)),                            # ls1
+            rep((d,)), rep((d,)),                 # norm2 scale/bias
+            rep((d, hidden)), rep((hidden,)),     # fc1
+            rep((hidden, d)), rep((d,)),          # fc2
+            rep((d,)),                            # ls2
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        x,
+        p["norm1_scale"], p["norm1_bias"], p["qkv_kernel"], p["qkv_bias"],
+        p["proj_kernel"], p["proj_bias"], p["ls1"],
+        p["norm2_scale"], p["norm2_bias"], p["fc1_kernel"], p["fc1_bias"],
+        p["fc2_kernel"], p["fc2_bias"], p["ls2"],
+    )
+    return out

@@ -1,0 +1,78 @@
+"""Parity of the fused transformer-block kernel vs the unfused block path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from foundpose_tpu.models import dinov2
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        variant="vits14", embed_dim=64, depth=3, num_heads=4, mlp_ratio=4.0,
+        swiglu=False, patch_size=14, num_register_tokens=4, pos_grid=6,
+        stride=14, facet="token", layer=2, apply_norm=True,
+    )
+    base.update(kw)
+    return dinov2.DinoV2Config(**base)
+
+
+def test_fused_block_matches_unfused(rng):
+    """Whole extract_facet path: fused-kernel blocks == unfused blocks
+    (same dtype, interpreter mode on CPU)."""
+    cfg = tiny_cfg()
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(rng.uniform(size=(2, 98, 98, 3)).astype(np.float32))
+
+    ref = dinov2.extract_facet(params, cfg, imgs)["feature_maps"]
+    with pltpu.force_tpu_interpret_mode():
+        fused = dinov2.extract_facet(
+            params, dataclasses.replace(cfg, use_fused_block=True), imgs
+        )["feature_maps"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_block_single_layer_parity(rng):
+    """One fused_vit_block call == one unfused _block on padded tokens
+    (valid rows only; padded rows are free to differ)."""
+    from foundpose_tpu.ops.vit_block import fused_vit_block
+
+    cfg = tiny_cfg(depth=1)
+    params = dinov2.init_params(jax.random.PRNGKey(1), cfg)
+    layer = jax.tree.map(lambda a: a[0], params["blocks"])
+
+    t, t_pad, d = 100, 128, cfg.embed_dim
+    x = jnp.asarray(rng.normal(size=(2, t, d)).astype(np.float32))
+    ref = dinov2._block(x, layer, cfg)
+
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_vit_block(
+            xp, layer, seq_len=t, num_heads=cfg.num_heads,
+            head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out[:, :t]), np.asarray(ref), atol=2e-4
+    )
+
+
+def test_fused_block_bf16(rng):
+    """bf16 path stays close to the f32 unfused reference."""
+    cfg = tiny_cfg()
+    params = dinov2.init_params(jax.random.PRNGKey(2), cfg)
+    imgs = jnp.asarray(rng.uniform(size=(1, 98, 98, 3)).astype(np.float32))
+
+    ref = dinov2.extract_facet(params, cfg, imgs)["feature_maps"]
+    with pltpu.force_tpu_interpret_mode():
+        fused16 = dinov2.extract_facet(
+            params, dataclasses.replace(cfg, use_fused_block=True),
+            imgs.astype(jnp.bfloat16),
+        )["feature_maps"]
+    scale = float(jnp.std(ref))
+    np.testing.assert_allclose(
+        np.asarray(fused16, dtype=np.float32), np.asarray(ref),
+        atol=0.1 * max(scale, 1.0),
+    )
