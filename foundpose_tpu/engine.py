@@ -59,10 +59,18 @@ class PoseEngine:
         config: Optional[inference.InferenceConfig] = None,
         batch_size: int = 16,
         seed: int = 0,
+        extractor_overrides: Optional[Dict[str, Any]] = None,
     ):
+        """extractor_overrides: DinoV2Config field overrides, e.g.
+        {"use_pallas_attention": True, "use_fused_block": True,
+        "approx_gelu": True} for the fastest TPU serving configuration."""
+        import dataclasses
+
         import jax
 
         self.vit_cfg = dinov2.parse_model_name(extractor_name)
+        if extractor_overrides:
+            self.vit_cfg = dataclasses.replace(self.vit_cfg, **extractor_overrides)
         if weights_path:
             self.vit_params = weights_mod.load_checkpoint(weights_path, self.vit_cfg)
         else:
