@@ -350,11 +350,21 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
         return x
     sliced = jax.tree.map(lambda a: a[:upto].astype(x.dtype), blocks)
 
-    if cfg.use_fused_block and not cfg.swiglu:
+    b, t, d = x.shape
+    t_pad = -(-t // 128) * 128
+    # VMEM footprint of one fused-block invocation: layer weights (bf16) +
+    # token activations (x, qkv, attn, MLP hidden) + the f32 logits. The
+    # scoped VMEM limit is 16 MB; ViT-S (D=384) fits at ~14.5 MB, ViT-B/L/G
+    # do not — fall back to the unfused path instead of OOMing at compile.
+    h = cfg.mlp_hidden
+    fused_vmem = (
+        2 * (4 * d * d + 2 * d * h)          # qkv/proj/fc1/fc2 weights bf16
+        + 2 * t_pad * (5 * d + h)            # x, qkv(3d), attn(d), hidden
+        + 4 * t_pad * t_pad                  # one head's logits, f32
+    )
+    if cfg.use_fused_block and not cfg.swiglu and fused_vmem < 15 * 2**20:
         from foundpose_tpu.ops.vit_block import fused_vit_block
 
-        b, t, d = x.shape
-        t_pad = -(-t // 128) * 128
         xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
 
         def body(h, p):
