@@ -286,6 +286,39 @@ def test_full_framework_end_to_end(tmp_path):
     )
     assert rot_err_mo < 15.0, rot_err_mo
 
+    # 3c. Fast-path CLI configuration: bf16 compute + bf16 banks at rest +
+    # approximate top-k + fused ViT block + tanh GELU, end-to-end through the
+    # real infer CLI, must recover the same pose.
+    fast_opts = dataclasses.replace(
+        infer_opts,
+        compute_dtype="bfloat16",
+        approx_topk=True,
+        use_fused_block=True,
+        approx_gelu=True,
+        output_dir=str(tmp_path / "inference_fast"),
+        vis_results=False,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    inf.dinov2.parse_model_name = lambda name: small_cfg
+    inf.bop.DEFAULT_CROP_SIZES["demo"] = (224, 224)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            inf.infer(fast_opts)
+    finally:
+        inf.dinov2.parse_model_name = orig_parse2
+        inf.bop.DEFAULT_CROP_SIZES = orig_crops
+    fast_results = json.loads(
+        (tmp_path / "inference_fast" / "demo" / "v1" / str(OBJ_ID) /
+         "estimated-poses.json").read_text()
+    )
+    assert len(fast_results) == 1
+    r_fast = np.asarray(fast_results[0]["R"], dtype=float)
+    rot_err_fast = np.degrees(
+        np.arccos(np.clip((np.trace(r_fast @ r_gt.T) - 1) / 2, -1, 1))
+    )
+    assert rot_err_fast < 15.0, rot_err_fast
+
     # 4. BOP submission CSV.
     sub_opts = bop_sub_mod.PrepareBopSubmissionOpts(
         object_dataset="demo",
