@@ -351,18 +351,27 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
     sliced = jax.tree.map(lambda a: a[:upto].astype(x.dtype), blocks)
 
     b, t, d = x.shape
-    t_pad = -(-t // 128) * 128
-    # VMEM footprint of one fused-block invocation: layer weights (bf16) +
-    # token activations (x, qkv, attn, MLP hidden) + the f32 logits. The
-    # scoped VMEM limit is 16 MB; ViT-S (D=384) fits at ~14.5 MB, ViT-B/L/G
-    # do not — fall back to the unfused path instead of OOMing at compile.
-    h = cfg.mlp_hidden
-    fused_vmem = (
-        2 * (4 * d * d + 2 * d * h)          # qkv/proj/fc1/fc2 weights bf16
-        + 2 * t_pad * (5 * d + h)            # x, qkv(3d), attn(d), hidden
-        + 4 * t_pad * t_pad                  # one head's logits, f32
-    )
-    if cfg.use_fused_block and not cfg.swiglu and fused_vmem < 15 * 2**20:
+    use_fused = cfg.use_fused_block and not cfg.swiglu
+    if use_fused:
+        # VMEM footprint of one fused-block invocation IN THE RUN DTYPE:
+        # layer weights + token activations (x, qkv, attn, MLP hidden) + the
+        # f32 logits and exp temporaries. The scoped VMEM limit is 16 MB;
+        # bf16 ViT-S (D=384) fits at ~14.5 MB, f32 ViT-S and all of
+        # ViT-B/L/G do not — fall back to the unfused path instead of
+        # OOMing at compile.
+        t_pad = -(-t // 128) * 128
+        hidden = cfg.mlp_hidden
+        esize = jnp.dtype(x.dtype).itemsize
+        fused_vmem = (
+            esize * (4 * d * d + 2 * d * hidden)  # qkv/proj/fc1/fc2 weights
+            + esize * t_pad * (5 * d + hidden)    # x, qkv(3d), attn(d), mlp
+            # One head's f32 logits; the exp is fused in place (the bf16
+            # ViT-S kernel compiles at ~16.3 MB against the 16 MB limit, so
+            # 4 bytes/elem here matches Mosaic's actual allocation).
+            + 4 * t_pad * t_pad
+        )
+        use_fused = fused_vmem < 15 * 2**20
+    if use_fused:
         from foundpose_tpu.ops.vit_block import fused_vit_block
 
         xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))

@@ -79,7 +79,12 @@ def _attention_flat(
     # Whole-sequence query blocks measure ~40% faster than 256-tiles at the
     # 905-token bench shape (fewer grid invocations, K/V loads amortized);
     # VMEM per invocation stays small (logits [block_q, T_pad] f32).
+    # block_q must DIVIDE t_pad or the floor-division grid would leave tail
+    # query rows uncomputed (e.g. t_pad=1280 with block_q=1024); t_pad is a
+    # multiple of 128, so stepping down by 128 always terminates.
     block_q = min(block_q, t_pad)
+    while t_pad % block_q:
+        block_q -= 128
     if t_pad != t:
         pad = ((0, 0), (0, t_pad - t), (0, 0))
         qb, kb, vb = (jnp.pad(x, pad) for x in (qb, kb, vb))

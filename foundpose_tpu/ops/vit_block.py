@@ -31,16 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Shared with the unfused path so the two can never drift numerically
+# (pure jnp; safe inside a Pallas kernel body). models/dinov2 only imports
+# this module lazily, so there is no import cycle.
+from foundpose_tpu.models.dinov2 import _layer_norm as _ln
+
 Array = jax.Array
-
-
-def _ln(x, scale, bias, eps):
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
 
 
 def _block_kernel(

@@ -232,7 +232,7 @@ def test_full_framework_end_to_end(tmp_path):
         inf.infer(infer_opts)
     finally:
         inf.dinov2.parse_model_name = orig_parse2
-        inf.bop.DEFAULT_CROP_SIZES = orig_crops
+        inf.bop.DEFAULT_CROP_SIZES = orig_crops.copy()
 
     results_path = tmp_path / "inference" / "demo" / "v1" / str(OBJ_ID) / "estimated-poses.json"
     assert results_path.exists()
@@ -274,7 +274,7 @@ def test_full_framework_end_to_end(tmp_path):
         inf.infer_multi_object(mo_opts)
     finally:
         inf.dinov2.parse_model_name = orig_parse2
-        inf.bop.DEFAULT_CROP_SIZES = orig_crops
+        inf.bop.DEFAULT_CROP_SIZES = orig_crops.copy()
     mo_results = json.loads(
         (tmp_path / "inference_mo" / "demo" / "v1" / str(OBJ_ID) /
          "estimated-poses.json").read_text()
@@ -307,7 +307,7 @@ def test_full_framework_end_to_end(tmp_path):
             inf.infer(fast_opts)
     finally:
         inf.dinov2.parse_model_name = orig_parse2
-        inf.bop.DEFAULT_CROP_SIZES = orig_crops
+        inf.bop.DEFAULT_CROP_SIZES = orig_crops.copy()
     fast_results = json.loads(
         (tmp_path / "inference_fast" / "demo" / "v1" / str(OBJ_ID) /
          "estimated-poses.json").read_text()
