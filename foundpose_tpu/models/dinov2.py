@@ -355,22 +355,27 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
     if use_fused:
         # VMEM footprint of one fused-block invocation IN THE RUN DTYPE:
         # layer weights + token activations (x, qkv, attn, MLP hidden) + the
-        # f32 logits and exp temporaries. The scoped VMEM limit is 16 MB;
-        # bf16 ViT-S (D=384) fits at ~14.5 MB, f32 ViT-S and all of
-        # ViT-B/L/G do not — fall back to the unfused path instead of
-        # OOMing at compile.
-        t_pad = -(-t // 128) * 128
+        # f32 logits and exp temporaries. The kernel requests a raised
+        # scoped-VMEM limit (ops/vit_block.VMEM_LIMIT_BYTES, 100 MB of the
+        # chip's 128 MB), which fits bf16 ViT-S/B/L at 905 tokens; guard
+        # against the budget with margin (Mosaic's actual stack allocation
+        # measured ~1.4x this estimate on bf16 ViT-S) and fall back to the
+        # unfused path instead of OOMing at compile.
+        from foundpose_tpu.ops.vit_block import VMEM_LIMIT_BYTES
+
+        # Tokens ride the SUBLANE axis everywhere except the logits' query
+        # dim, so padding only needs the sublane tile (16 covers bf16 and
+        # f32) — not the 128-lane tile. 905 tokens -> 912 instead of 1024:
+        # ~11% less work in every per-token op of the block.
+        t_pad = -(-t // 16) * 16
         hidden = cfg.mlp_hidden
         esize = jnp.dtype(x.dtype).itemsize
         fused_vmem = (
             esize * (4 * d * d + 2 * d * hidden)  # qkv/proj/fc1/fc2 weights
             + esize * t_pad * (5 * d + hidden)    # x, qkv(3d), attn(d), mlp
-            # One head's f32 logits; the exp is fused in place (the bf16
-            # ViT-S kernel compiles at ~16.3 MB against the 16 MB limit, so
-            # 4 bytes/elem here matches Mosaic's actual allocation).
-            + 4 * t_pad * t_pad
+            + 4 * t_pad * t_pad  # one head's f32 logits (+ exp temporary)
         )
-        use_fused = fused_vmem < 15 * 2**20
+        use_fused = fused_vmem * 1.5 < VMEM_LIMIT_BYTES
     if use_fused:
         from foundpose_tpu.ops.vit_block import fused_vit_block
 

@@ -38,6 +38,12 @@ from foundpose_tpu.models.dinov2 import _layer_norm as _ln
 
 Array = jax.Array
 
+# Upper bound on the scoped-VMEM limit the fused-block kernel may request
+# (v5e/v5p/v6e have 128 MB of VMEM; XLA's 16 MB default is just a
+# conservative scoped cap). 100 MB leaves room for the pipeline's
+# double-buffered in/out token blocks.
+VMEM_LIMIT_BYTES = 100 * 2**20
+
 
 def _block_kernel(
     x_ref,
@@ -126,6 +132,20 @@ def fused_vit_block(
     b, t_pad, d = x.shape
     hidden = p["fc1_kernel"].shape[-1]
 
+    # Request a scoped-VMEM limit sized to this block's actual footprint
+    # instead of XLA's conservative 16 MB default (the chip has 128 MB):
+    # bf16 ViT-S needs ~16.3 MB, ViT-B/L substantially more. The request is
+    # kept snug (analytic estimate x1.5) rather than maximal — granting more
+    # than needed gives Mosaic no benefit. models/dinov2._run_blocks guards
+    # the same estimate against VMEM_LIMIT_BYTES before choosing this path.
+    esize = jnp.dtype(x.dtype).itemsize
+    est = (
+        esize * (4 * d * d + 2 * d * hidden)  # qkv/proj/fc1/fc2 weights
+        + esize * t_pad * (5 * d + hidden)    # x, qkv(3d), attn(d), mlp
+        + 4 * t_pad * t_pad                   # one head's f32 logits
+    )
+    vmem_limit = min(VMEM_LIMIT_BYTES, max(int(est * 1.5), 16 * 2**20))
+
     rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                      memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -149,6 +169,10 @@ def fused_vit_block(
         ],
         out_specs=pl.BlockSpec((1, t_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=vmem_limit,
+        ),
         interpret=interpret,
     )(
         x,
