@@ -1,0 +1,159 @@
+"""Offline builder throughput at the published LM-O scale, on this host.
+
+Measures the full per-object OFFLINE path — template synthesis
+(57 viewpoints x 14 in-plane rotations = 798 templates at 420x420, 4x SSAA)
+followed by repre building (ViT-S/14-reg registration, PCA 384->256,
+k-means 2048, tf-idf descriptors) — end-to-end with per-stage wall times.
+The reference runs the same two stages per object
+(reference: scripts/gen_templates.py:70, scripts/gen_repre.py:220); its
+hot loops are one pyrender call and one torch ViT forward PER TEMPLATE,
+sequentially, while this builder renders through the crop camera directly
+and registers templates in batched jitted chunks.
+
+Geometry is a synthetic icosphere (no BOP data ships in this environment)
+and ViT weights are random — neither changes the arithmetic cost of any
+stage.
+
+Usage: python benchmarks/builder_full_scale.py [--viewpoints 57]
+       [--rotations 14] [--out /tmp/builder_bench]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from foundpose_tpu.data.ply import Mesh, save_ply
+
+OBJ_ID = 1
+
+
+def make_icosphere(scale=40.0, subdivisions=2):
+    """Subdivided icosahedron (mm units) with positional vertex colors."""
+    phi = (1 + 5**0.5) / 2
+    verts = np.array(
+        [
+            [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+            [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+            [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    for _ in range(subdivisions):
+        new_faces = []
+        edge_mid = {}
+        vlist = list(verts)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                vlist.append((vlist[a] + vlist[b]) / 2.0)
+                edge_mid[key] = len(vlist) - 1
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        verts = np.array(vlist)
+        faces = np.array(new_faces, dtype=np.int64)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * scale
+    colors = (verts - verts.min(0)) / (verts.max(0) - verts.min(0)) * 255.0
+    return Mesh(
+        vertices=verts.astype(np.float32),
+        faces=faces.astype(np.int32),
+        colors=colors.astype(np.uint8),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--viewpoints", type=int, default=57)
+    ap.add_argument("--rotations", type=int, default=14)
+    ap.add_argument("--out", default="/tmp/builder_bench")
+    ap.add_argument("--batch-size", type=int, default=16)
+    args = ap.parse_args()
+
+    from foundpose_tpu.pipeline import gen_repre as gen_repre_mod
+    from foundpose_tpu.pipeline import gen_templates as gen_templates_mod
+
+    out = args.out
+    shutil.rmtree(out, ignore_errors=True)
+    bop_root = os.path.join(out, "bop")
+    models = os.path.join(bop_root, "demo", "models")
+    os.makedirs(models)
+    mesh = make_icosphere()
+    save_ply(os.path.join(models, f"obj_{OBJ_ID:06d}.ply"), mesh)
+    diameter = float(
+        np.linalg.norm(mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0))
+    )
+    with open(os.path.join(models, "models_info.json"), "w") as f:
+        json.dump({str(OBJ_ID): {"diameter": diameter}}, f)
+
+    times = {}
+    t0 = time.perf_counter()
+    gen_templates_mod.synthesize_templates(
+        gen_templates_mod.GenTemplatesOpts(
+            object_dataset="demo",
+            object_lids=[OBJ_ID],
+            min_num_viewpoints=args.viewpoints,
+            num_inplane_rotations=args.rotations,
+            depth_range=(600.0, 1200.0),
+            ssaa_factor=4.0,
+            crop_size=(420, 420),
+            bop_root=bop_root,
+            output_dir=os.path.join(out, "templates"),
+            overwrite=True,
+        )
+    )
+    times["gen_templates_s"] = round(time.perf_counter() - t0, 2)
+
+    tpl_dir = os.path.join(out, "templates", "demo", "v1", str(OBJ_ID))
+    with open(os.path.join(tpl_dir, "metadata.json")) as f:
+        num_templates = len(json.load(f))
+
+    t0 = time.perf_counter()
+    gen_repre_mod.generate_repre_from_list(
+        gen_repre_mod.GenRepreOpts(
+            object_dataset="demo",
+            object_lids=[OBJ_ID],
+            extractor_name=(
+                "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+            ),
+            apply_pca=True,
+            pca_components=256,
+            cluster_num=2048,
+            batch_size=args.batch_size,
+            use_pallas_attention=True,
+            use_fused_block=True,
+            approx_gelu=True,
+            templates_dir=os.path.join(out, "templates"),
+            output_dir=os.path.join(out, "repre"),
+            overwrite=True,
+        )
+    )
+    times["gen_repre_s"] = round(time.perf_counter() - t0, 2)
+    times["num_templates"] = num_templates
+    times["templates_per_s_end_to_end"] = round(
+        num_templates / (times["gen_templates_s"] + times["gen_repre_s"]), 2
+    )
+    print(json.dumps(times))
+
+
+if __name__ == "__main__":
+    main()

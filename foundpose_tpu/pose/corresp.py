@@ -17,10 +17,75 @@ import jax
 import jax.numpy as jnp
 
 from foundpose_tpu.ops.knn import pairwise_sqdist
+from foundpose_tpu.ops.selection import INVALID_SENTINEL, compact_smallest_k
 
 Array = jax.Array
 
 _INF = jnp.inf
+
+
+def _compact_buddies(
+    query_points: Array,
+    cycle_dists: Array,
+    q2o: Array,
+    verts: Array,
+    top_k: int,
+):
+    """Sort-free top-k buddy selection (the approx_topk path).
+
+    `lax.approx_min_k` dominated the matching stage at k=300 of Q=900 (it is
+    built for k << Q), and the subsequent id/vertex gathers serialize on TPU.
+    This path selects via radix threshold + one-hot compaction
+    (ops/selection.py): every per-buddy channel — distance, query id, object
+    id, 2D point — compacts through ONE [Q, K] matmul, and the 3D vertices
+    through a [K, F] one-hot matmul, with no sort and no gathers. Slots come
+    out ordered by query index instead of by distance; downstream consumers
+    (RANSAC sampling, scoring, score normalization) are order-agnostic.
+
+    Args:
+        cycle_dists: [Q] f32 with invalid entries >= INVALID_SENTINEL.
+    Returns (coord_2d [K,2], q_ids [K], coord_3d [K,3], scores [K],
+    dists [K], valid [K], o_ids [K]).
+    """
+    q = cycle_dists.shape[0]
+    f = verts.shape[0]
+    onehot, _ = compact_smallest_k(cycle_dists, top_k)  # [Q, K]
+    chans = jnp.concatenate(
+        [
+            cycle_dists[:, None],
+            jnp.arange(q, dtype=jnp.float32)[:, None],
+            q2o.astype(jnp.float32)[:, None],
+            query_points.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [Q, 5]; ids are exact in f32 (Q, F << 2^24)
+    comp = jax.lax.dot_general(
+        onehot, chans, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, 5]
+    bb_dists = comp[:, 0]
+    q_ids = comp[:, 1].astype(jnp.int32)
+    o_ids = comp[:, 2].astype(jnp.int32)
+    coord_2d = comp[:, 3:5]
+    valid = bb_dists < INVALID_SENTINEL * 0.5
+    o_onehot = (
+        o_ids[:, None] == jnp.arange(f, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # [K, F]
+    coord_3d = jax.lax.dot_general(
+        o_onehot, verts.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, 3]
+    d_max = jnp.max(jnp.where(valid, bb_dists, -_INF))
+    scores = jnp.where(valid, 1.0 - bb_dists / jnp.maximum(d_max, 1e-12), 0.0)
+    return (
+        coord_2d,
+        q_ids,
+        coord_3d,
+        scores,
+        jnp.where(valid, bb_dists, 0.0),
+        valid,
+        o_ids,
+    )
 
 
 class Correspondences(NamedTuple):
@@ -71,14 +136,17 @@ def cyclic_buddies(
     cycle_dists = jnp.where(query_mask, cycle_dists, _INF)
 
     if approx_topk:
-        # TPU-optimized approximate selection (avoids a full sort); buddies
-        # near the cut boundary are interchangeable for RANSAC.
-        bb_dists, query_bb_ids = jax.lax.approx_min_k(
-            cycle_dists, top_k, recall_target=0.95
+        # Sort-free radix selection + one-hot compaction (see
+        # _compact_buddies); buddies near the cut boundary are
+        # interchangeable for RANSAC.
+        cdm = jnp.where(query_mask, cycle_dists, INVALID_SENTINEL)
+        dummy_verts = jnp.zeros((object_feats.shape[0], 3), jnp.float32)
+        _, query_bb_ids, _, scores, bb_dists, valid, object_bb_ids = (
+            _compact_buddies(query_points, cdm, q2o, dummy_verts, top_k)
         )
-    else:
-        neg, query_bb_ids = jax.lax.top_k(-cycle_dists, top_k)
-        bb_dists = -neg
+        return query_bb_ids, object_bb_ids, bb_dists, scores, valid
+    neg, query_bb_ids = jax.lax.top_k(-cycle_dists, top_k)
+    bb_dists = -neg
     valid = jnp.isfinite(bb_dists)
     # Score = 1 - d / d_max over the selected (valid) buddies
     # (reference: utils/corresp_util.py:63-65).
@@ -99,6 +167,7 @@ def establish_correspondences_batch(
     bank_mask: Array,
     top_k: int,
     approx_topk: bool = False,
+    use_kernel: bool | None = None,
 ) -> Correspondences:
     """Batched buddy correspondences for all crops x retrieved templates.
 
@@ -119,6 +188,38 @@ def establish_correspondences_batch(
     sel_verts = jnp.take(bank_vertices, template_ids, axis=0)
     sel_mask = jnp.take(bank_mask, template_ids, axis=0)
 
+    if approx_topk:
+        if use_kernel is None:
+            # Trace-time platform check (same convention as pose/pnp.py):
+            # the fused kernel needs a TPU or the Pallas interpreter.
+            use_kernel = jax.local_devices()[0].platform == "tpu"
+        if use_kernel:
+            from foundpose_tpu.ops.buddies_kernel import cycle_distances_fused
+
+            cdm_bt, q2o_bt = cycle_distances_fused(
+                query_feats, query_mask, query_points, sel_feats, sel_mask
+            )  # [B, T', Q] each
+
+            def finish_fused(cdm_i, q2o_i, verts, tid, tscore):
+                (c2d, q_ids, c3d, scores, bb, valid, o_ids) = _compact_buddies(
+                    query_points, cdm_i, q2o_i, verts, top_k
+                )
+                return Correspondences(
+                    coord_2d=c2d,
+                    coord_2d_ids=q_ids,
+                    coord_3d=c3d,
+                    coord_conf=scores,
+                    nn_vertex_ids=o_ids,
+                    cycle_dists=bb,
+                    valid=valid,
+                    template_id=tid,
+                    template_score=tscore,
+                )
+
+            return jax.vmap(jax.vmap(finish_fused))(
+                cdm_bt, q2o_bt, sel_verts, template_ids, template_scores
+            )
+
     def pair(qf, qm, bf, bm):
         d = pairwise_sqdist(qf, bf)
         d = jnp.where(qm[:, None], d, _INF)
@@ -134,13 +235,25 @@ def establish_correspondences_batch(
         u1 = query_points
         u2 = query_points[cycle_ids]
         cycle_dists = jnp.linalg.norm(u1 - u2, axis=-1)
-        cycle_dists = jnp.where(qmask, cycle_dists, _INF)
         if approx_topk:
-            bb_dists, q_ids = jax.lax.approx_min_k(cycle_dists, top_k,
-                                                   recall_target=0.95)
-        else:
-            neg, q_ids = jax.lax.top_k(-cycle_dists, top_k)
-            bb_dists = -neg
+            cdm = jnp.where(qmask, cycle_dists, INVALID_SENTINEL)
+            (coord_2d, q_ids, coord_3d, scores, bb_dists, valid, o_ids) = (
+                _compact_buddies(query_points, cdm, q2o_i, verts, top_k)
+            )
+            return Correspondences(
+                coord_2d=coord_2d,
+                coord_2d_ids=q_ids,
+                coord_3d=coord_3d,
+                coord_conf=scores,
+                nn_vertex_ids=o_ids,
+                cycle_dists=bb_dists,
+                valid=valid,
+                template_id=tid,
+                template_score=tscore,
+            )
+        cycle_dists = jnp.where(qmask, cycle_dists, _INF)
+        neg, q_ids = jax.lax.top_k(-cycle_dists, top_k)
+        bb_dists = -neg
         valid = jnp.isfinite(bb_dists)
         d_max = jnp.max(jnp.where(valid, bb_dists, -_INF))
         scores = jnp.where(valid, 1.0 - bb_dists / jnp.maximum(d_max, 1e-12), 0.0)

@@ -20,7 +20,7 @@ TPU-native replacement for cv2.solvePnPRansac/solvePnPRefineLM
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,81 @@ from foundpose_tpu import geometry
 Array = jax.Array
 
 _P = jax.lax.Precision.HIGHEST
+
+
+def _score_kernel(pts4_ref, duv_ref, valid_ref, a_ref, counts_ref):
+    """Inlier counts for all hypotheses of one correspondence set, in VMEM.
+
+    The XLA formulation materializes [pairs, H, N, 3] camera-space points in
+    HBM (hundreds of MB per batch — profiled as the scoring stage's cost);
+    here the [N, H] projections live only in VMEM. The inlier test is
+    division-free AND threshold-free: the caller folds f/thr into the x/y
+    rows of A and 1/thr into duv, so with e = cam_xy' + duv'*cam_z a point
+    is an inlier iff |e|^2 < cam_z^2 and cam_z > 0 — algebraically equal to
+    the pixel-space threshold test for cam_z > 0 (the threshold stays a
+    traced value; nothing here depends on it statically).
+    """
+    pts4 = pts4_ref[0]  # [N, 4] f32 homogeneous model points
+    duv = duv_ref[0]  # [N, 2] f32 = (c - uv) / thr
+    vmask = valid_ref[0]  # [N, 1] f32
+    a = a_ref[0]  # [12, H] f32: rows = fx/thr*[Rx|tx], fy/thr*[Ry|ty], [Rz|tz]
+    camx = jax.lax.dot(pts4, a[0:4], preferred_element_type=jnp.float32)
+    camy = jax.lax.dot(pts4, a[4:8], preferred_element_type=jnp.float32)
+    camz = jax.lax.dot(pts4, a[8:12], preferred_element_type=jnp.float32)
+    ex = camx + duv[:, 0:1] * camz
+    ey = camy + duv[:, 1:2] * camz
+    inl = (ex * ex + ey * ey < camz * camz) & (camz > 0)
+    counts_ref[0] = jnp.sum(
+        jnp.where(inl, vmask, 0.0), axis=0, keepdims=True
+    )  # [1, H]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def score_hypotheses_fused(
+    pts2d: Array,
+    pts3d: Array,
+    validf: Array,
+    rs: Array,
+    ts: Array,
+    k_f: Array,
+    k_c: Array,
+    inlier_thresh: Array,
+    interpret: bool = False,
+) -> Array:
+    """Masked inlier count per hypothesis ([H] f32) via the Pallas kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = pts3d.shape[0]
+    h = rs.shape[0]
+    pts4 = jnp.concatenate([pts3d, jnp.ones((n, 1), pts3d.dtype)], axis=1)
+    thr = jnp.asarray(inlier_thresh, jnp.float32)
+    duv = ((k_c - pts2d) / thr).astype(jnp.float32)  # [N, 2]
+    a = jnp.concatenate([rs, ts[:, :, None]], axis=2)  # [H, 3, 4]
+    a = jnp.concatenate(
+        [a[:, 0] * (k_f[0] / thr), a[:, 1] * (k_f[1] / thr), a[:, 2]], axis=1
+    )  # [H, 12] with focal/threshold folded in
+    counts = pl.pallas_call(
+        _score_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1, h), jnp.float32),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, n, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        pts4.astype(jnp.float32)[None],
+        duv[None],
+        validf.astype(jnp.float32)[:, None][None],
+        a.T.astype(jnp.float32)[None],
+    )
+    return counts[0, 0]
 
 
 class PnPResult(NamedTuple):
@@ -334,7 +409,10 @@ def _project(r: Array, t: Array, pts3d: Array, k_f: Array, k_c: Array) -> Array:
     return cam[:, :2] / z * k_f + k_c
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "refine_lm", "lm_iters"))
+@partial(
+    jax.jit,
+    static_argnames=("num_hypotheses", "refine_lm", "lm_iters", "use_fused_score"),
+)
 def ransac_pnp(
     coord_2d: Array,
     coord_3d: Array,
@@ -346,6 +424,7 @@ def ransac_pnp(
     inlier_thresh: float = 10.0,
     refine_lm: bool = True,
     lm_iters: int = 10,
+    use_fused_score: Optional[bool] = None,
 ) -> PnPResult:
     """RANSAC-PnP on one (masked) correspondence set.
 
@@ -383,10 +462,13 @@ def ransac_pnp(
     rank = jnp.cumsum(validi) - validi  # exclusive prefix sum
     count = jnp.maximum(jnp.sum(validi), 1)
     u = jax.random.randint(key, (num_hypotheses, 6), 0, n) % count  # [H, 6]
-    counts = jnp.sum(
-        (u[:, :, None] == rank[None, None, :]) & valid[None, None, :],
-        axis=1,
-    ).astype(dtype)  # [H, N]
+    # Accumulate the 6 draws as separate [H, N] compares instead of reducing
+    # a broadcast [H, 6, N] — same result, but XLA fuses the 2D compares into
+    # the accumulation without materializing the 3D intermediate.
+    rank_valid = jnp.where(valid, rank, -1)[None, :]  # [1, N]
+    counts = jnp.zeros((num_hypotheses, n), dtype)
+    for j in range(6):
+        counts = counts + (u[:, j : j + 1] == rank_valid).astype(dtype)
 
     # Lane-major batched DLT: hypotheses ride the lane dimension through the
     # Cholesky/polar chains (full lane utilization vs 12/128 for the naive
@@ -402,18 +484,40 @@ def ransac_pnp(
     ts = jnp.where(finite[:, None], ts, jnp.asarray([0.0, 0.0, 1.0], dtype=dtype))
 
     # --- score all hypotheses by masked inlier count ------------------------
-    def score_one(r, t):
-        proj = _project(r, t, pts3d, k_f, k_c)
+    if use_fused_score is None:
+        # Trace-time platform check: the Pallas kernel needs a TPU (or
+        # interpreter); CPU test meshes take the XLA path.
+        use_fused_score = jax.local_devices()[0].platform == "tpu"
+    if use_fused_score:
+        # VMEM-fused scoring: the XLA path materializes [H, N, 3] camera
+        # points in HBM per correspondence set (profiled at ~3.5 ms of the
+        # solve stage's ~8.5 ms at batch 64; benchmarks/micro_pnp.py).
+        counts = score_hypotheses_fused(
+            pts2d, pts3d, validf, rs, ts, k_f, k_c, inlier_thresh
+        )
+        best = jnp.argmax(counts)
+        r_best, t_best = rs[best], ts[best]
+        # Inlier mask recomputed for the winner only (one [N] pass).
+        proj = _project(r_best, t_best, pts3d, k_f, k_c)
         err2 = jnp.sum(jnp.square(proj - pts2d), axis=-1)
-        cam_z = (jnp.einsum("ij,nj->ni", r, pts3d, precision=_P) + t)[:, 2]
-        inl = (err2 < inlier_thresh**2) & valid & (cam_z > 0)
-        return jnp.sum(inl.astype(dtype)), inl
+        cam_z = (
+            jnp.einsum("ij,nj->ni", r_best, pts3d, precision=_P) + t_best
+        )[:, 2]
+        inliers = (err2 < inlier_thresh**2) & valid & (cam_z > 0)
+        count = counts[best]
+    else:
+        def score_one(r, t):
+            proj = _project(r, t, pts3d, k_f, k_c)
+            err2 = jnp.sum(jnp.square(proj - pts2d), axis=-1)
+            cam_z = (jnp.einsum("ij,nj->ni", r, pts3d, precision=_P) + t)[:, 2]
+            inl = (err2 < inlier_thresh**2) & valid & (cam_z > 0)
+            return jnp.sum(inl.astype(dtype)), inl
 
-    counts, inlier_masks = jax.vmap(score_one)(rs, ts)
-    best = jnp.argmax(counts)
-    r_best, t_best = rs[best], ts[best]
-    inliers = inlier_masks[best]
-    count = counts[best]
+        counts, inlier_masks = jax.vmap(score_one)(rs, ts)
+        best = jnp.argmax(counts)
+        r_best, t_best = rs[best], ts[best]
+        inliers = inlier_masks[best]
+        count = counts[best]
 
     # --- masked LM refinement on the best hypothesis's inliers -------------
     if refine_lm:

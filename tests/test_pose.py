@@ -328,3 +328,36 @@ def test_dlt_pose_many_matches_per_hypothesis(rng):
             inlier_thresh = 10.0 / 600.0  # px -> normalized coords
             both_junk = min(res_m, res_1) > inlier_thresh
             assert both_junk or abs(res_m - res_1) < 2e-2, (i, res_m, res_1)
+
+
+def test_fused_score_matches_xla_path(rng):
+    """ransac_pnp with the Pallas inlier-count kernel (interpreter mode) ==
+    the XLA scoring path: same winner, same quality, same pose."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(
+        rng, n=80, noise=0.5, outlier_frac=0.3
+    )
+    args = (
+        jnp.asarray(proj, dtype=jnp.float32),
+        jnp.asarray(pts3d, dtype=jnp.float32),
+        jnp.ones(80, bool),
+        jnp.asarray(k_f, dtype=jnp.float32),
+        jnp.asarray(k_c, dtype=jnp.float32),
+        jax.random.PRNGKey(5),
+    )
+    res_xla = pnp.ransac_pnp(*args, num_hypotheses=150, use_fused_score=False)
+    with pltpu.force_tpu_interpret_mode():
+        res_fused = pnp.ransac_pnp(
+            *args, num_hypotheses=150, use_fused_score=True
+        )
+    assert float(res_xla.quality) == float(res_fused.quality)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.R), np.asarray(res_xla.R), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_fused.t), np.asarray(res_xla.t), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_fused.inliers), np.asarray(res_xla.inliers)
+    )
