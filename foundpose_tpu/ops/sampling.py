@@ -79,6 +79,36 @@ def sample_feature_map(
     return bilinear_sample(feature_map_hwc, fm_pts)
 
 
+def sample_grid_features(
+    feature_map_hwc: Array,
+    points: Array,
+    image_size: Tuple[int, int],
+    cell_size: float,
+) -> Array:
+    """`sample_feature_map` specialized for the regular query grid.
+
+    When the grid matches the feature map exactly — one cell per texel, the
+    default for stride-14 DINOv2 on 14-px cells — every cell center lands on
+    an integer feature-map coordinate ((i+0.5)*cell * wf/W - 0.5 == i), where
+    bilinear weights degenerate to the identity: sampling is a reshape,
+    saving the 4-neighbor gathers. (The bilinear path's f32 coordinate math
+    lands ~1e-7 off-texel and interpolates by that epsilon; the reshape is
+    the exact on-texel value — equality tested at 1e-4.) Falls back to true
+    bilinear sampling otherwise (stride overrides, non-cell-aligned grids).
+    """
+    hf, wf = feature_map_hwc.shape[0], feature_map_hwc.shape[1]
+    cols = int(image_size[0] / cell_size)
+    rows = int(image_size[1] / cell_size)
+    if (
+        (wf, hf) == (cols, rows)
+        and image_size[0] / wf == cell_size
+        and image_size[1] / hf == cell_size
+        and points.shape[0] == rows * cols
+    ):
+        return feature_map_hwc.reshape(rows * cols, feature_map_hwc.shape[-1])
+    return sample_feature_map(feature_map_hwc, points, image_size)
+
+
 def lift_points_to_3d(
     points: Array, depth_image: Array, cam_f: Array, cam_c: Array
 ) -> Array:

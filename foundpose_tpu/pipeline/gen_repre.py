@@ -141,7 +141,9 @@ def make_registration_fn(vit_cfg, grid_cell_size: float, crop_size: Tuple[int, i
             eroded = morphology.erode(mask, 5, border="zero")
             points = sampling.grid_points(crop_size, grid_cell_size)
             valid = sampling.points_in_mask(points, eroded)
-            feats = sampling.sample_feature_map(fmap, points, crop_size)
+            feats = sampling.sample_grid_features(
+                fmap, points, crop_size, grid_cell_size
+            )
             pts_cam = sampling.lift_points_to_3d(points, depth, kf, kc)
             # world frame == model frame for templates (m2w identity).
             verts = geometry.transform_points(kt, pts_cam)

@@ -130,7 +130,11 @@ def query_features_from_map(
     """
     points = sampling.grid_points(crop_size, grid_cell_size)
     valid = sampling.points_in_mask(points, mask)
-    feats = sampling.sample_feature_map(feature_map, points, crop_size)
+    # Reshape fast path when the grid matches the feature map 1:1 (default
+    # LM-O config); true bilinear sampling otherwise.
+    feats = sampling.sample_grid_features(
+        feature_map, points, crop_size, grid_cell_size
+    )
     return points, feats, valid
 
 

@@ -347,3 +347,25 @@ def test_template_descs_scatter_matches_per_template_loop(rng):
             np.testing.assert_allclose(
                 np.asarray(descs[ti]), np.asarray(exp), atol=1e-5
             )
+
+
+def test_sample_grid_features_aligned_matches_bilinear(rng):
+    """The aligned reshape fast path == bilinear sampling at the default
+    1-cell-per-texel configuration. (Not bit-identical: the bilinear path's
+    f32 coordinate math lands ~1e-7 off-texel and interpolates by that
+    epsilon; the reshape is the exact on-texel value.)"""
+    fm = rng.normal(size=(30, 30, 16)).astype(np.float32)
+    pts = sampling.grid_points((420, 420), 14.0)
+    fast = sampling.sample_grid_features(jnp.asarray(fm), pts, (420, 420), 14.0)
+    slow = sampling.sample_feature_map(jnp.asarray(fm), pts, (420, 420))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-4)
+
+
+def test_sample_grid_features_misaligned_falls_back(rng):
+    """A non-aligned grid (cell != image/fm ratio) takes the bilinear path."""
+    fm = rng.normal(size=(30, 30, 8)).astype(np.float32)
+    pts = sampling.grid_points((420, 420), 28.0)
+    got = sampling.sample_grid_features(jnp.asarray(fm), pts, (420, 420), 28.0)
+    exp = sampling.sample_feature_map(jnp.asarray(fm), pts, (420, 420))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    assert got.shape == (15 * 15, 8)
