@@ -59,37 +59,50 @@ def _block_kernel(
 ):
     x = x_ref[0]  # [T_pad, D]
     d = x.shape[-1]
-    scale = head_dim ** -0.5
+    # exp -> exp2 conversion folded into the attention scale, and the scale
+    # folded into q itself: one [T, D] multiply replaces a per-head
+    # [T, T] logits multiply and the multiply inside every exp lowering.
+    scale = head_dim ** -0.5 * 1.4426950408889634  # 1/sqrt(hd) * log2(e)
 
     # ---- attention sublayer -------------------------------------------------
     xn = _ln(x, n1s_ref[...], n1b_ref[...], eps)
     qkv = (
         jax.lax.dot(xn, qkvw_ref[...], preferred_element_type=jnp.float32)
         + qkvb_ref[...].astype(jnp.float32)
-    ).astype(x.dtype)  # [T_pad, 3D]
+    )  # [T_pad, 3D] f32
+    q_all = (qkv[:, :d] * scale).astype(x.dtype)
+    kv = qkv[:, d:].astype(x.dtype)
 
     t_pad = x.shape[0]
+    # Padded-key mask as an additive [T_pad, 1] bias column, computed once
+    # per kernel (not iota+compare+select per head): exp2(-inf - m) == 0, so
+    # padded keys drop out of both the matmul and the normalizer.
+    kmask = None
+    if t_pad != seq_len:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+        kmask = jnp.where(key_ids < seq_len, 0.0, -jnp.inf).astype(jnp.float32)
+
     head_outs = []
     for h in range(num_heads):
-        q = qkv[:, h * head_dim : (h + 1) * head_dim]
-        k = qkv[:, d + h * head_dim : d + (h + 1) * head_dim]
-        v = qkv[:, 2 * d + h * head_dim : 2 * d + (h + 1) * head_dim]
+        q = q_all[:, h * head_dim : (h + 1) * head_dim]
+        k = kv[:, h * head_dim : (h + 1) * head_dim]
+        v = kv[:, d + h * head_dim : d + (h + 1) * head_dim]
         # Transposed logits: softmax over keys reduces along sublanes.
         logits_t = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [T_pad(keys), T_pad(queries)]
-        if t_pad != seq_len:
-            key_ids = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 0)
-            logits_t = jnp.where(key_ids < seq_len, logits_t, -jnp.inf)
+        )  # [T_pad(keys), T_pad(queries)], pre-scaled via q
+        if kmask is not None:
+            logits_t = logits_t + kmask
         m = jnp.max(logits_t, axis=0, keepdims=True)
-        p = jnp.exp(logits_t - m)
-        w = (p / jnp.sum(p, axis=0, keepdims=True)).astype(v.dtype)
-        head_outs.append(
-            jax.lax.dot_general(
-                w, v, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-        )  # [T_pad, head_dim]
+        p = jnp.exp2(logits_t - m)
+        s = jnp.sum(p, axis=0, keepdims=True)  # [1, T_pad(queries)] f32
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T_pad(queries), head_dim] f32, un-normalized
+        # Late normalization: one [T, head_dim] multiply by the reciprocal
+        # row-sum instead of a [T, T] divide on the weights.
+        head_outs.append((o * (1.0 / s).reshape(t_pad, 1)).astype(x.dtype))
     attn = jnp.concatenate(head_outs, axis=-1)  # [T_pad, D]
     y = (
         jax.lax.dot(attn, projw_ref[...], preferred_element_type=jnp.float32)
