@@ -78,6 +78,10 @@ def main():
         # Whole-block Pallas kernel: ViT 47 -> 28 ms/batch-64 (activations +
         # layer weights VMEM-resident; ops/vit_block.py).
         use_fused_block=True,
+        # Drop the softmax max reduction (0.73 ms/layer = 28% of the fused
+        # block); exact while attention logits < ~99 (DINOv2 runs +-30),
+        # capped/floored beyond (see DinoV2Config.softmax_stabilizer).
+        softmax_stabilizer="capped",
     )
     params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
     repre = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,

