@@ -82,6 +82,9 @@ def make_icosphere(scale=40.0, subdivisions=2):
 
 
 def main():
+    from foundpose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--viewpoints", type=int, default=57)
     ap.add_argument("--rotations", type=int, default=14)

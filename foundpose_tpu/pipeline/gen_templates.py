@@ -85,12 +85,20 @@ def _camera_json(cam: PinholeCamera) -> dict:
 
 
 def camera_from_json(data: dict) -> PinholeCamera:
-    return PinholeCamera.create(
-        f=(data["fx"], data["fy"]),
-        c=(data["cx"], data["cy"]),
+    # Host-side IO: the pytree is built with NUMPY leaves on purpose.
+    # PinholeCamera.create's eager jnp ops each dispatch to the default
+    # device, and on a tunneled accelerator that is a ~100 ms round trip
+    # per call — loading one object's 798 template cameras through it
+    # profiled at ~2 minutes of pure dispatch overhead.
+    t = np.asarray(data["T_WorldFromCamera"], dtype=np.float32)
+    if t.shape == (3, 4):
+        t = np.concatenate([t, np.asarray([[0.0, 0.0, 0.0, 1.0]], t.dtype)])
+    return PinholeCamera(
+        f=np.asarray([data["fx"], data["fy"]], dtype=np.float32),
+        c=np.asarray([data["cx"], data["cy"]], dtype=np.float32),
+        T_world_from_eye=t,
         width=int(data["ImageSizeX"]),
         height=int(data["ImageSizeY"]),
-        T_world_from_eye=np.asarray(data["T_WorldFromCamera"]),
     )
 
 
@@ -166,15 +174,24 @@ def synthesize_templates_for_object(
                 [proj[:, 0].min(), proj[:, 1].min(), proj[:, 0].max(), proj[:, 1].max()],
                 dtype=np.float32,
             )
+            import jax
             import jax.numpy as jnp
 
-            crop_box = cam_mod.calc_crop_box(jnp.asarray(box), make_square=True)
-            crop_cam = cam_mod.construct_crop_camera(
-                box=crop_box,
-                camera_c2w=base_cam,
-                viewport_size=(crop_w, crop_h),
-                viewport_rel_pad=opts.crop_rel_pad,
-            )
+            # Scalar camera math pinned to the CPU backend: on a tunneled
+            # accelerator each eager jnp dispatch is a ~100 ms host round
+            # trip, and these two calls per template dominated the stage
+            # (~0.5 s of the 0.62 s/template wall).
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                crop_box = cam_mod.calc_crop_box(
+                    jnp.asarray(box), make_square=True
+                )
+                crop_cam = cam_mod.construct_crop_camera(
+                    box=crop_box,
+                    camera_c2w=base_cam,
+                    viewport_size=(crop_w, crop_h),
+                    viewport_rel_pad=opts.crop_rel_pad,
+                )
+                crop_cam = jax.tree.map(np.asarray, crop_cam)
 
             # Render directly through the crop camera at SSAA resolution.
             hi_cam = PinholeCamera(

@@ -637,6 +637,9 @@ def infer(opts: InferOpts) -> None:
 
 
 def main() -> None:
+    from foundpose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     opts = config_util.load_opts(InferOpts)
     if opts.multi_object:
         infer_multi_object(opts)

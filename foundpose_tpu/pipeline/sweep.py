@@ -72,6 +72,9 @@ def sweep(opts: SweepOpts) -> Dict[str, str]:
 
 
 def main() -> None:
+    from foundpose_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     sweep(config_util.load_opts(SweepOpts))
 
 
