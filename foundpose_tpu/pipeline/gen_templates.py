@@ -162,9 +162,14 @@ def synthesize_templates_for_object(
             t_w2c[:3, :3] = view["R"]
             t_w2c[:3, 3] = view["t"].flatten()
             t_c2w = np.linalg.inv(t_w2c)
-            base_cam = PinholeCamera.create(
-                f=base_f, c=base_c, width=base_w, height=base_h,
-                T_world_from_eye=t_c2w,
+            # Numpy-leaf camera (PinholeCamera.create's eager jnp ops each
+            # dispatch to the tunneled device — ~100 ms per call).
+            base_cam = PinholeCamera(
+                f=np.asarray(base_f, dtype=np.float32),
+                c=np.asarray(base_c, dtype=np.float32),
+                T_world_from_eye=t_c2w.astype(np.float32),
+                width=base_w,
+                height=base_h,
             )
 
             # Analytic object box in the base camera.
