@@ -102,17 +102,29 @@ class PoseEngine:
         img = image.astype(np.float32)
         if img.max() > 1.5:
             img = img / 255.0
-        orig_cam = PinholeCamera.from_intrinsic_matrix(K, width=w, height=h)
-
-        crop_cams = []
-        for box in boxes_xyxy:
-            crop_box = cam_mod.calc_crop_box(jnp.asarray(box, dtype=jnp.float32))
-            crop_cams.append(
-                cam_mod.construct_crop_camera(
-                    box=crop_box, camera_c2w=orig_cam,
-                    viewport_size=self.config.crop_size, viewport_rel_pad=0.2,
-                )
+        # Scalar per-box camera math pinned to the CPU backend: each eager
+        # jnp dispatch on a tunneled accelerator is a ~100 ms round trip
+        # (same pathology as pipeline/infer.prepare_instance_crops).
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            orig_cam = PinholeCamera.from_intrinsic_matrix(
+                K, width=w, height=h
             )
+            crop_cams = []
+            for box in boxes_xyxy:
+                crop_box = cam_mod.calc_crop_box(
+                    jnp.asarray(box, dtype=jnp.float32)
+                )
+                crop_cams.append(
+                    jax.tree.map(
+                        np.asarray,
+                        cam_mod.construct_crop_camera(
+                            box=crop_box, camera_c2w=orig_cam,
+                            viewport_size=self.config.crop_size,
+                            viewport_rel_pad=0.2,
+                        ),
+                    )
+                )
+            orig_cam = jax.tree.map(np.asarray, orig_cam)
         dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
         mask_stack = jnp.asarray(
             np.stack(

@@ -176,26 +176,36 @@ def prepare_instance_crops(
     if not instances:
         return []
     h, w = sample.image.shape[:2]
-    orig_cam = PinholeCamera.from_intrinsic_matrix(sample.K, width=w, height=h)
     image = sample.image.astype(np.float32) / 255.0
 
     crop_cams = []
     kept = []
     t0 = time.perf_counter()
     half_image = 0.5 * h * w
-    for det in instances:
-        # Skip degenerate detections covering more than half of the image
-        # (reference: scripts/infer.py:389-393, e.g. itodd false positives).
-        if det.mask is not None and det.mask.sum() > half_image:
-            continue
-        box = jnp.asarray(det.box_xyxy)
-        crop_box = cam_mod.calc_crop_box(box, make_square=True)
-        crop_cam = cam_mod.construct_crop_camera(
-            box=crop_box, camera_c2w=orig_cam,
-            viewport_size=opts.crop_size, viewport_rel_pad=opts.crop_rel_pad,
+    # Per-detection crop-camera math is scalar work; pinned to the CPU
+    # backend because each eager jnp dispatch on a tunneled accelerator is
+    # a ~100 ms host round trip (the same pathology profiled in
+    # gen_templates at ~0.5 s/template).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        orig_cam = PinholeCamera.from_intrinsic_matrix(
+            sample.K, width=w, height=h
         )
-        crop_cams.append(crop_cam)
-        kept.append(det)
+        for det in instances:
+            # Skip degenerate detections covering more than half of the
+            # image (reference: scripts/infer.py:389-393, e.g. itodd false
+            # positives).
+            if det.mask is not None and det.mask.sum() > half_image:
+                continue
+            box = jnp.asarray(det.box_xyxy)
+            crop_box = cam_mod.calc_crop_box(box, make_square=True)
+            crop_cam = cam_mod.construct_crop_camera(
+                box=crop_box, camera_c2w=orig_cam,
+                viewport_size=opts.crop_size,
+                viewport_rel_pad=opts.crop_rel_pad,
+            )
+            crop_cams.append(jax.tree.map(np.asarray, crop_cam))
+            kept.append(det)
+        orig_cam = jax.tree.map(np.asarray, orig_cam)
     if not kept:
         return []
     dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
