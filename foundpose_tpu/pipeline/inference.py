@@ -226,7 +226,12 @@ def solve_batch(
     def per_crop(fmap, valid, template_ids, template_scores, cors, cam_f,
                  cam_c, crop_key):
         validf = valid.astype(cdt)
-        # RANSAC-PnP per template hypothesis set.
+        # RANSAC-PnP per template hypothesis set — WITHOUT LM: selection is
+        # by the pre-refinement inlier count in the reference too
+        # (pnp_util.py:77-79 takes quality from solvePnPRansac's inlier set;
+        # RefineLM never feeds back into it, scripts/infer.py:593-602), so
+        # refining only the winning template below is output-equivalent and
+        # 5x cheaper than refining every candidate.
         pnp_keys = jax.random.split(crop_key, config.top_n_templates)
         results = jax.vmap(
             lambda c2, c3, v, k: pnp_mod.ransac_pnp(
@@ -238,7 +243,7 @@ def solve_batch(
                 k,
                 num_hypotheses=config.pnp_ransac_iter,
                 inlier_thresh=config.pnp_inlier_thresh,
-                refine_lm=config.pnp_refine_lm,
+                refine_lm=False,
                 lm_iters=config.lm_iters,
             )
         )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
@@ -248,6 +253,22 @@ def solve_batch(
         best = jnp.argmax(quality)
         r_best = results.R[best]
         t_best = results.t[best]
+
+        # LM refinement of the winner only (reference: pnp_util.py:66-74).
+        if config.pnp_refine_lm:
+            r_ref, t_ref = pnp_mod.refine_pose_lm(
+                r_best,
+                t_best,
+                cors.coord_2d[best].astype(jnp.float32),
+                cors.coord_3d[best].astype(jnp.float32),
+                results.inliers[best],
+                cam_f,
+                cam_c,
+                iters=config.lm_iters,
+            )
+            ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
+            r_best = jnp.where(ok, r_ref, r_best)
+            t_best = jnp.where(ok, t_ref, t_best)
 
         # Optional featuremetric refinement against the dense (projected)
         # feature map, using the winning template's registered features.
