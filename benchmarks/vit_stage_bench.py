@@ -33,11 +33,15 @@ def main():
 
     vit_cfg = dataclasses.replace(
         dinov2.parse_model_name(
-            "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+            os.environ.get(
+                "VIT_MODEL",
+                "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1",
+            )
         ),
         use_pallas_attention=True,
         approx_gelu=True,
         use_fused_block=os.environ.get("VIT_FUSED", "1") == "1",
+        softmax_stabilizer=os.environ.get("VIT_STABILIZER", "capped"),
     )
     params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
     batch = int(os.environ.get("BENCH_BATCH", "64"))

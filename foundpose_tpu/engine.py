@@ -24,29 +24,11 @@ from foundpose_tpu.structs import PinholeCamera
 
 
 def _make_single_image_warp(crop_size: Tuple[int, int]):
-    """Jitted warp of ONE image into many crop cameras (image and source
-    camera are closed over the vmap, so no [n, H, W, 3] image copies are
-    materialized — only the per-detection masks are inherently batched)."""
-    import jax
+    """Jitted warp of ONE image into many crop cameras (single-sourced in
+    ops/warp.make_single_image_warp; the infer CLI uses the same factory)."""
+    from foundpose_tpu.ops.warp import make_single_image_warp
 
-    from foundpose_tpu.ops import warp as warp_mod
-
-    @jax.jit
-    def warp(image, masks, src_cam: PinholeCamera, dst_cams: PinholeCamera):
-        def one(msk, df, dc, dt):
-            dst = PinholeCamera(f=df, c=dc, T_world_from_eye=dt,
-                                width=crop_size[0], height=crop_size[1])
-            out_img = warp_mod.warp_image(src_cam, dst, image,
-                                          interpolation="area2x")
-            out_msk = warp_mod.warp_image(src_cam, dst, msk,
-                                          interpolation="nearest")
-            return out_img, out_msk
-
-        return jax.vmap(one)(
-            masks, dst_cams.f, dst_cams.c, dst_cams.T_world_from_eye
-        )
-
-    return warp
+    return make_single_image_warp(crop_size)
 
 
 class PoseEngine:

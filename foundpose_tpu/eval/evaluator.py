@@ -283,6 +283,8 @@ class EvaluatorPose:
                 item["inliers_est_err"] = rec.inliers_est_err
             if rec.mask_iou is not None:
                 item["mask_iou"] = rec.mask_iou
+            if rec.template_ori_err_deg is not None:
+                item["template_ori_err_deg"] = rec.template_ori_err_deg
             out.append(item)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:

@@ -21,7 +21,7 @@ reference: utils/dinov2_utils.py:59-78).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,10 +75,14 @@ class DinoV2Config:
     # subtraction (exact, default). "capped" drops the max reduction —
     # the 6 per-head max passes cost 0.73 ms/layer at batch 64 on v5e,
     # 28% of the whole block — and instead caps p = min(exp2(l), 1e30)
-    # with a sum floor: bit-equal to true softmax while logits < ~99
-    # (DINOv2 attention logits run within +-30), overflow-safe via the
-    # cap and underflow-safe via the floor beyond that. The bench enables
-    # it; parity-tested against the unfused path.
+    # with a sum floor: numerically equivalent to the stabilized softmax
+    # within f32 rounding while logits < ~99 (exp2(l) and exp2(l-m) round
+    # differently; the parity test needs atol 2e-5 — DINOv2 attention
+    # logits run within +-30 empirically), overflow-safe via the cap
+    # beyond that. An all-underflow query column yields ZERO attention
+    # output (not the uniform average true softmax would give) — the sum
+    # floor only prevents 0/0. The bench enables it; parity-tested
+    # against the unfused path.
     softmax_stabilizer: str = "column"
 
     @property
@@ -135,6 +139,32 @@ def parse_model_name(model_name: str) -> DinoV2Config:
         apply_norm=norm,
         **spec,
     )
+
+
+def resolve_config(
+    model_name: str,
+    use_pallas_attention: bool = False,
+    use_fused_block: bool = False,
+    approx_gelu: bool = False,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> DinoV2Config:
+    """parse_model_name + the CLIs' fast-path flags + explicit overrides.
+
+    `overrides` is the pipelines' injection seam (`vit_overrides` on
+    InferOpts/GenRepreOpts): a dict of DinoV2Config field replacements —
+    e.g. {"embed_dim": 32, "depth": 2} for tiny test models, or
+    {"softmax_stabilizer": "capped"} for kernel experiments — applied LAST,
+    so tests and sweeps never have to monkey-patch module globals.
+    """
+    cfg = dataclasses.replace(
+        parse_model_name(model_name),
+        use_pallas_attention=use_pallas_attention,
+        use_fused_block=use_fused_block,
+        approx_gelu=approx_gelu,
+    )
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
 
 
 # ---------------------------------------------------------------------------
@@ -360,31 +390,30 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
     sliced = jax.tree.map(lambda a: a[:upto].astype(x.dtype), blocks)
 
     b, t, d = x.shape
-    use_fused = cfg.use_fused_block and not cfg.swiglu
+    use_fused = cfg.use_fused_block
     if use_fused:
-        # VMEM footprint of one fused-block invocation IN THE RUN DTYPE:
-        # layer weights + token activations (x, qkv, attn, MLP hidden) + the
-        # f32 logits and exp temporaries. The kernel requests a raised
-        # scoped-VMEM limit (ops/vit_block.VMEM_LIMIT_BYTES, 100 MB of the
-        # chip's 128 MB), which fits bf16 ViT-S/B/L at 905 tokens; guard
-        # against the budget with margin (Mosaic's actual stack allocation
-        # measured ~1.4x this estimate on bf16 ViT-S) and fall back to the
-        # unfused path instead of OOMing at compile.
-        from foundpose_tpu.ops.vit_block import VMEM_LIMIT_BYTES
+        # The kernel requests a raised scoped-VMEM limit
+        # (ops/vit_block.VMEM_LIMIT_BYTES, 100 MB of the chip's 128 MB),
+        # which fits bf16 ViT-S/B/L at 905 tokens; guard with the kernel's
+        # OWN chunk chooser (single-sourced over fused_block_vmem_bytes,
+        # which applies the 1.5x margin — Mosaic's actual stack allocation
+        # measured ~1.4x the estimate on bf16 ViT-S) and fall back to the
+        # unfused path instead of OOMing at compile. Wide-hidden variants
+        # (ViT-G's 4096-wide SwiGLU) are admitted by token-chunking the MLP
+        # inside the kernel; choose_mlp_chunks returns None only when even
+        # the finest chunking does not fit.
+        from foundpose_tpu.ops.vit_block import choose_mlp_chunks
 
         # Tokens ride the SUBLANE axis everywhere except the logits' query
         # dim, so padding only needs the sublane tile (16 covers bf16 and
         # f32) — not the 128-lane tile. 905 tokens -> 912 instead of 1024:
         # ~11% less work in every per-token op of the block.
         t_pad = -(-t // 16) * 16
-        hidden = cfg.mlp_hidden
         esize = jnp.dtype(x.dtype).itemsize
-        fused_vmem = (
-            esize * (4 * d * d + 2 * d * hidden)  # qkv/proj/fc1/fc2 weights
-            + esize * t_pad * (5 * d + hidden)    # x, qkv(3d), attn(d), mlp
-            + 4 * t_pad * t_pad  # one head's f32 logits (+ exp temporary)
+        use_fused = (
+            choose_mlp_chunks(t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu)
+            is not None
         )
-        use_fused = fused_vmem * 1.5 < VMEM_LIMIT_BYTES
     if use_fused:
         from foundpose_tpu.ops.vit_block import fused_vit_block
 

@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from foundpose_tpu.ops.warp import bilinear_sample
 
@@ -87,6 +88,14 @@ def sample_grid_features(
 ) -> Array:
     """`sample_feature_map` specialized for the regular query grid.
 
+    PRECONDITION: `points` must be the row-major grid of cell centers
+    produced by `grid_points(image_size, cell_size)` — i.e. point (r, c) at
+    ((c+0.5)*cell, (r+0.5)*cell). The fast path below is keyed only on
+    shapes (point VALUES may be traced under jit and cannot be inspected),
+    so arbitrary points that merely match the count would silently get the
+    wrong features; callers with non-grid points must use
+    `sample_feature_map` directly.
+
     When the grid matches the feature map exactly — one cell per texel, the
     default for stride-14 DINOv2 on 14-px cells — every cell center lands on
     an integer feature-map coordinate ((i+0.5)*cell * wf/W - 0.5 == i), where
@@ -105,6 +114,13 @@ def sample_grid_features(
         and image_size[1] / hf == cell_size
         and points.shape[0] == rows * cols
     ):
+        # Cheap guard when point values are concrete (numpy/committed):
+        # the first grid point must be the first cell center.
+        first = points[0] if isinstance(points, np.ndarray) else None
+        if first is not None and not np.allclose(
+            first, [cell_size / 2.0, cell_size / 2.0], atol=1e-4
+        ):
+            return sample_feature_map(feature_map_hwc, points, image_size)
         return feature_map_hwc.reshape(rows * cols, feature_map_hwc.shape[-1])
     return sample_feature_map(feature_map_hwc, points, image_size)
 

@@ -70,6 +70,13 @@ def calc_tfidf(
     tf = (weights / num_feats).reshape(-1)
     ids_flat = word_ids.reshape(-1)
     num_words = word_idfs.shape[0]
+    # Non-finite idfs (imported reference repres can carry log(T/0)=inf for
+    # unused words) would poison the whole descriptor via 0*inf / inf*tf;
+    # clamp them to 0 in BOTH branches below so the result never depends on
+    # which size-based path an input happens to hit. calc_word_idfs never
+    # emits them, and a query feature assigned to such a word would make the
+    # reference's score NaN anyway.
+    safe_idfs = jnp.where(jnp.isfinite(word_idfs), word_idfs, 0.0)
     if n * k * num_words <= 32 * 2**20:
         # Online-query sizes (LM-O: 900x3 features, 2048 words): a one-hot
         # contraction runs on the MXU and measured 2.2x faster than the
@@ -80,18 +87,11 @@ def calc_tfidf(
         onehot = (
             ids_flat[:, None] == jnp.arange(num_words, dtype=ids_flat.dtype)[None, :]
         ).astype(jnp.float32)  # [N*k, W]
-        # Non-finite idfs (imported reference repres can carry log(T/0)=inf
-        # for unused words) would poison the whole contraction via 0*inf;
-        # clamp them to 0. calc_word_idfs never emits them, and a query
-        # feature assigned to such a word would make the reference's score
-        # NaN anyway.
-        safe_idfs = jnp.where(jnp.isfinite(word_idfs), word_idfs, 0.0)
         w_idf = onehot @ safe_idfs  # [N*k] gather-free idf lookup
         return (tf * w_idf) @ onehot  # [W]
     # Offline bank sizes (hundreds of k features): the [N*k, W] one-hot would
-    # not fit; scatter-add instead. 0 * inf -> NaN guarded for masked
-    # features hitting unbounded idfs.
-    tfidf = jnp.where(tf > 0, tf * word_idfs[ids_flat], 0.0)
+    # not fit; scatter-add instead (same clamped idfs as the one-hot path).
+    tfidf = jnp.where(tf > 0, tf * safe_idfs[ids_flat], 0.0)
     return jax.ops.segment_sum(tfidf, ids_flat, num_segments=num_words)
 
 

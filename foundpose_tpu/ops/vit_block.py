@@ -8,8 +8,10 @@ same block makes ~15 HBM round trips per layer for intermediates (qkv, per
 -head attention inputs/outputs, MLP hidden); here only x enters and leaves.
 
 Design notes:
-- Grid is (B,): token count is padded to the 128-lane tile once by the
-  caller; padded QUERY rows produce garbage that stays in padded rows (LN
+- Grid is (B,): the caller pads the token count once to the SUBLANE tile (a
+  multiple of 16, covering bf16 and f32 — tokens ride the sublane axis
+  everywhere except the logits' query dim, so 905 tokens pad to 912, not
+  1024); padded QUERY rows produce garbage that stays in padded rows (LN
   and the MLP are per-token), and padded KEYS are masked with -inf inside
   the attention, so the final slice back to the true sequence length is
   exact.
@@ -45,6 +47,74 @@ Array = jax.Array
 VMEM_LIMIT_BYTES = 100 * 2**20
 
 
+def fused_block_vmem_bytes(
+    t_pad: int,
+    embed_dim: int,
+    mlp_hidden: int,
+    itemsize: int,
+    swiglu: bool = False,
+    mlp_chunks: int = 1,
+) -> int:
+    """Margined scoped-VMEM request for ONE fused-block invocation.
+
+    Single source of truth for both the kernel's scoped-VMEM request below
+    and models/dinov2._run_blocks' fits-or-fallback guard (via
+    choose_mlp_chunks) — the two MUST agree or the guard silently diverges
+    from what the kernel asks Mosaic for.
+
+    Terms: layer weights (qkv/proj + the MLP's 2 matrices, 3·d·h total for
+    SwiGLU's w12[d,2h]+w3[h,d] vs 2·d·h for fc1+fc2), token activations
+    (x, qkv=3d, attn=d), the MLP hidden activations for ONE token chunk
+    (t_pad/mlp_chunks rows — the kernel tiles the MLP over token chunks so
+    wide-hidden variants like ViT-G fit), and one head's f32 logits (+ its
+    exp temporary, covered by the margin).
+
+    The margin is STRUCTURED: 1.5x on the dynamic terms (activations,
+    logits, matmul staging — where Mosaic's stack allocation overshoots),
+    1.0x on the weight blocks (loaded once per grid; grid-invariant index
+    maps are not double-buffered). This model reproduces the bf16 ViT-S
+    measurement exactly (Mosaic allocated ~1.4x the unmargined total =
+    weights x1.0 + dynamics x1.5) and is validated on-device for ViT-G
+    (weights 56.6 MB; a flat 1.5x would misreport it as not fitting).
+    """
+    d, hidden = embed_dim, mlp_hidden
+    chunk = t_pad // mlp_chunks
+    mlp_weights = (3 if swiglu else 2) * d * hidden
+    # Hidden activations live per chunk: fc1/w12 output (2h for SwiGLU's
+    # gate+value, h otherwise) + the activated h.
+    mlp_act = chunk * ((3 if swiglu else 2) * hidden)
+    weights = itemsize * (4 * d * d + mlp_weights)  # qkv/proj/mlp weights
+    dynamic = (
+        itemsize * t_pad * 5 * d               # x, qkv(3d), attn(d)
+        + itemsize * mlp_act
+        + 4 * t_pad * t_pad                    # one head's f32 logits
+    )
+    return weights + int(dynamic * 1.5)
+
+
+def choose_mlp_chunks(
+    t_pad: int, embed_dim: int, mlp_hidden: int, itemsize: int, swiglu: bool
+):
+    """Smallest MLP token-chunk count whose margined footprint fits the VMEM
+    budget.
+
+    Chunk counts must divide t_pad into sublane-aligned (multiple-of-16)
+    chunks. Returns the chunk count, or None when even the finest chunking
+    does not fit (caller falls back to the unfused path).
+    """
+    candidates = [
+        c for c in range(1, t_pad // 16 + 1)
+        if t_pad % c == 0 and (t_pad // c) % 16 == 0
+    ]
+    for c in candidates:
+        est = fused_block_vmem_bytes(
+            t_pad, embed_dim, mlp_hidden, itemsize, swiglu=swiglu, mlp_chunks=c
+        )
+        if est < VMEM_LIMIT_BYTES:
+            return c
+    return None
+
+
 def _block_kernel(
     x_ref,
     n1s_ref, n1b_ref, qkvw_ref, qkvb_ref, projw_ref, projb_ref, ls1_ref,
@@ -57,6 +127,8 @@ def _block_kernel(
     eps: float,
     approx_gelu: bool,
     softmax_stabilizer: str,
+    swiglu: bool = False,
+    mlp_chunks: int = 1,
 ):
     x = x_ref[0]  # [T_pad, D]
     d = x.shape[-1]
@@ -97,11 +169,13 @@ def _block_kernel(
         if softmax_stabilizer == "capped":
             # No max reduction (the 6 per-head max passes cost 0.73 ms/layer
             # at batch 64 — 28% of the whole block): p is capped against f32
-            # overflow and the sum floored against all-underflow columns.
-            # Bit-equal to the stabilized softmax while logits < ~99
-            # (exp2 arguments are logits * log2(e); DINOv2's run within
-            # +-30); degrades gracefully (uniform over capped entries /
-            # zero rows) beyond.
+            # overflow and the sum floored against 0/0 on all-underflow
+            # columns. Numerically equivalent to the stabilized softmax
+            # within f32 rounding while logits < ~99 (exp2(l) vs exp2(l-m)
+            # round differently; parity holds at atol 2e-5 — DINOv2's run
+            # within +-30); beyond that it degrades to uniform over capped
+            # entries, and an all-underflow column yields ZERO output
+            # rather than the uniform average true softmax would give.
             p = jnp.minimum(jnp.exp2(logits_t), 1e30)
             s = jnp.maximum(
                 jnp.sum(p, axis=0, keepdims=True), 1e-30
@@ -125,16 +199,36 @@ def _block_kernel(
     x = x + ls1_ref[...].astype(x.dtype) * y
 
     # ---- MLP sublayer -------------------------------------------------------
+    # Token-chunked (static unrolled slices) so the [chunk, hidden]
+    # activations — the largest per-token intermediate for wide-hidden
+    # variants like ViT-G's 4096 SwiGLU — never all live at once;
+    # choose_mlp_chunks picks the coarsest chunking that fits VMEM.
+    # For SwiGLU models the fc1/fc2 ref slots hold w12 [D, 2H] / w3 [H, D].
     xn2 = _ln(x, n2s_ref[...], n2b_ref[...], eps)
-    h1 = (
-        jax.lax.dot(xn2, fc1w_ref[...], preferred_element_type=jnp.float32)
-        + fc1b_ref[...].astype(jnp.float32)
-    )
-    h1 = jax.nn.gelu(h1, approximate=approx_gelu).astype(x.dtype)
-    y2 = (
-        jax.lax.dot(h1, fc2w_ref[...], preferred_element_type=jnp.float32)
-        + fc2b_ref[...].astype(jnp.float32)
-    ).astype(x.dtype)
+    hidden = fc2w_ref.shape[0]
+    chunk = t_pad // mlp_chunks
+    y2_chunks = []
+    for ci in range(mlp_chunks):
+        xc = xn2[ci * chunk : (ci + 1) * chunk]
+        h1 = (
+            jax.lax.dot(xc, fc1w_ref[...], preferred_element_type=jnp.float32)
+            + fc1b_ref[...].astype(jnp.float32)
+        )
+        if swiglu:
+            # DINOv2 SwiGLUFFNFused: silu(x @ w1) * (x @ w2), with w1/w2
+            # fused column-wise into w12 (reference: dinov2's SwiGLUFFNFused).
+            h1 = (jax.nn.silu(h1[:, :hidden]) * h1[:, hidden:]).astype(x.dtype)
+        else:
+            h1 = jax.nn.gelu(h1, approximate=approx_gelu).astype(x.dtype)
+        y2_chunks.append(
+            (
+                jax.lax.dot(
+                    h1, fc2w_ref[...], preferred_element_type=jnp.float32
+                )
+                + fc2b_ref[...].astype(jnp.float32)
+            ).astype(x.dtype)
+        )
+    y2 = jnp.concatenate(y2_chunks, axis=0) if mlp_chunks > 1 else y2_chunks[0]
     o_ref[0] = x + ls2_ref[...].astype(x.dtype) * y2
 
 
@@ -155,32 +249,49 @@ def fused_vit_block(
     interpret: bool = False,
 ) -> Array:
     """One transformer block over [B, T_pad, D] tokens (T_pad a multiple of
-    128; rows >= seq_len are padding). `p` holds one layer's (unstacked)
-    parameters in the models/dinov2.py naming."""
+    the 16-row sublane tile; rows >= seq_len are padding). `p` holds one
+    layer's (unstacked) parameters in the models/dinov2.py naming — either
+    the fc1/fc2 GELU MLP or the w12/w3 SwiGLU MLP (ViT-G)."""
     b, t_pad, d = x.shape
-    hidden = p["fc1_kernel"].shape[-1]
+    swiglu = "w12_kernel" in p
+    if swiglu:
+        mlp_w1, mlp_b1 = p["w12_kernel"], p["w12_bias"]
+        mlp_w2, mlp_b2 = p["w3_kernel"], p["w3_bias"]
+        hidden = mlp_w2.shape[0]
+    else:
+        mlp_w1, mlp_b1 = p["fc1_kernel"], p["fc1_bias"]
+        mlp_w2, mlp_b2 = p["fc2_kernel"], p["fc2_bias"]
+        hidden = mlp_w1.shape[-1]
 
     # Request a scoped-VMEM limit sized to this block's actual footprint
     # instead of XLA's conservative 16 MB default (the chip has 128 MB):
     # bf16 ViT-S needs ~16.3 MB, ViT-B/L substantially more. The request is
     # kept snug (analytic estimate x1.5) rather than maximal — granting more
     # than needed gives Mosaic no benefit. models/dinov2._run_blocks guards
-    # the same estimate against VMEM_LIMIT_BYTES before choosing this path.
+    # the SAME estimator (fused_block_vmem_bytes via choose_mlp_chunks)
+    # against VMEM_LIMIT_BYTES before choosing this path.
     esize = jnp.dtype(x.dtype).itemsize
-    est = (
-        esize * (4 * d * d + 2 * d * hidden)  # qkv/proj/fc1/fc2 weights
-        + esize * t_pad * (5 * d + hidden)    # x, qkv(3d), attn(d), mlp
-        + 4 * t_pad * t_pad                   # one head's f32 logits
+    mlp_chunks = choose_mlp_chunks(t_pad, d, hidden, esize, swiglu)
+    if mlp_chunks is None:
+        raise ValueError(
+            "fused_vit_block does not fit VMEM even with per-16-token MLP "
+            "chunking; the caller should have taken the unfused path "
+            f"(t_pad={t_pad}, d={d}, hidden={hidden}, swiglu={swiglu})"
+        )
+    est = fused_block_vmem_bytes(
+        t_pad, d, hidden, esize, swiglu=swiglu, mlp_chunks=mlp_chunks
     )
-    vmem_limit = min(VMEM_LIMIT_BYTES, max(int(est * 1.5), 16 * 2**20))
+    vmem_limit = min(VMEM_LIMIT_BYTES, max(est, 16 * 2**20))
 
     rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                      memory_space=pltpu.VMEM)
+    w1_cols = 2 * hidden if swiglu else hidden
     out = pl.pallas_call(
         functools.partial(
             _block_kernel, seq_len=seq_len, num_heads=num_heads,
             head_dim=head_dim, eps=eps, approx_gelu=approx_gelu,
-            softmax_stabilizer=softmax_stabilizer,
+            softmax_stabilizer=softmax_stabilizer, swiglu=swiglu,
+            mlp_chunks=mlp_chunks,
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
         grid=(b,),
@@ -192,8 +303,8 @@ def fused_vit_block(
             rep((d, d)), rep((d,)),               # proj
             rep((d,)),                            # ls1
             rep((d,)), rep((d,)),                 # norm2 scale/bias
-            rep((d, hidden)), rep((hidden,)),     # fc1
-            rep((hidden, d)), rep((d,)),          # fc2
+            rep((d, w1_cols)), rep((w1_cols,)),   # fc1 | w12
+            rep((hidden, d)), rep((d,)),          # fc2 | w3
             rep((d,)),                            # ls2
         ],
         out_specs=pl.BlockSpec((1, t_pad, d), lambda i: (i, 0, 0),
@@ -207,7 +318,7 @@ def fused_vit_block(
         x,
         p["norm1_scale"], p["norm1_bias"], p["qkv_kernel"], p["qkv_bias"],
         p["proj_kernel"], p["proj_bias"], p["ls1"],
-        p["norm2_scale"], p["norm2_bias"], p["fc1_kernel"], p["fc1_bias"],
-        p["fc2_kernel"], p["fc2_bias"], p["ls2"],
+        p["norm2_scale"], p["norm2_bias"], mlp_w1, mlp_b1,
+        mlp_w2, mlp_b2, p["ls2"],
     )
     return out

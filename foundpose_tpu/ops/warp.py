@@ -168,3 +168,34 @@ def warp_depth_image(
     return warp_image(
         src_camera, dst_camera, new_depth, interpolation="nearest", depth_check=depth_check
     )
+
+
+def make_single_image_warp(crop_size):
+    """Factory for a jitted warp of ONE image into many crop cameras.
+
+    The image and the source camera are plain (traced) arguments and only the
+    per-detection masks/destination cameras are batched under vmap, so no
+    [n, H, W, 3] image replicas are ever materialized — with n detections per
+    image the old batched layout copied the full image n times through host
+    memory and HBM (the reference pays the same per-instance cost as n
+    cv2.remap calls, scripts/infer.py:438-449). Used by both the serving
+    engine and the infer CLI so the two host paths cannot drift.
+    """
+
+    @jax.jit
+    def warp(image, masks, src_cam: PinholeCamera, dst_cams: PinholeCamera):
+        def one(msk, df, dc, dt):
+            dst = PinholeCamera(f=df, c=dc, T_world_from_eye=dt,
+                                width=crop_size[0], height=crop_size[1])
+            # area2x tracks the reference's INTER_AREA choice for downscaling
+            # crops and degrades gracefully to (slightly smoothed) bilinear
+            # when upsampling (reference: scripts/infer.py:433-443).
+            out_img = warp_image(src_cam, dst, image, interpolation="area2x")
+            out_msk = warp_image(src_cam, dst, msk, interpolation="nearest")
+            return out_img, out_msk
+
+        return jax.vmap(one)(
+            masks, dst_cams.f, dst_cams.c, dst_cams.T_world_from_eye
+        )
+
+    return warp

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from foundpose_tpu import geometry
 from foundpose_tpu.models import dinov2
+from foundpose_tpu.ops import sampling
 from foundpose_tpu.ops.pca import pca_transform
 from foundpose_tpu.ops.tfidf import assign_words, calc_tfidf
 from foundpose_tpu.parallel.mesh import BANK_AXIS, DATA_AXIS
@@ -141,16 +142,29 @@ def make_sharded_step(
         fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
         fmaps = fmaps.astype(jnp.float32)
 
-        # Distinct PRNG keys per global crop, sliced to this data shard.
+        # Same key derivation as inference.pose_from_features, sliced to this
+        # data shard: GLOBAL crop i subsamples with keys_all[i] and draws PnP
+        # hypotheses from keys_all[b_global + i], so the sharded step is
+        # hypothesis-identical to the single-device pipeline.
         b_local = crops.shape[0]
         my_data = jax.lax.axis_index(DATA_AXIS)
-        keys_all = jax.random.split(key, jax.lax.axis_size(DATA_AXIS) * b_local)
-        keys = jax.lax.dynamic_slice_in_dim(keys_all, my_data * b_local, b_local)
+        b_global = jax.lax.axis_size(DATA_AXIS) * b_local
+        keys_all = jax.random.split(key, 2 * b_global)
+        sub_keys = jax.lax.dynamic_slice_in_dim(
+            keys_all, my_data * b_local, b_local
+        )
+        keys = jax.lax.dynamic_slice_in_dim(
+            keys_all, b_global + my_data * b_local, b_local
+        )
 
-        def one(fmap, mask, kf, kc, k):
+        def one(fmap, mask, kf, kc, sk, k):
             points, feats, valid = query_features_from_map(
                 fmap, mask, config.crop_size, config.grid_cell_size
             )
+            if config.max_num_queries < points.shape[0]:
+                valid = sampling.subsample_points(
+                    points, valid, config.max_num_queries, sk
+                )
             if has_pca:
                 feats = pca_transform(raw_projector, feats)
             validf = valid.astype(feats.dtype)
@@ -168,11 +182,16 @@ def make_sharded_step(
                     points, feats, valid, bfeats, bmask, config.top_k_buddies,
                     approx_topk=config.approx_topk,
                 )
+                # No LM here: selection is by the PRE-refinement inlier count
+                # (same policy as pipeline/inference.py solve_batch; the
+                # reference also selects on solvePnPRansac's inlier set,
+                # pnp_util.py:77-79), so per-template LM would be top_n x
+                # redundant work — the winner alone is refined below.
                 res = pnp_mod.ransac_pnp(
                     points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
                     num_hypotheses=config.pnp_ransac_iter,
                     inlier_thresh=config.pnp_inlier_thresh,
-                    refine_lm=config.pnp_refine_lm,
+                    refine_lm=False,
                     lm_iters=config.lm_iters,
                 )
                 return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
@@ -185,6 +204,18 @@ def make_sharded_step(
             best = jnp.argmax(quality)
             r_best = results.R[best]
             t_best = results.t[best]
+
+            # LM refinement of the winner only (reference: pnp_util.py:66-74).
+            if config.pnp_refine_lm:
+                r_ref, t_ref = pnp_mod.refine_pose_lm(
+                    r_best, t_best,
+                    c2d[best].astype(jnp.float32),
+                    c3d[best].astype(jnp.float32),
+                    results.inliers[best], kf, kc, iters=config.lm_iters,
+                )
+                ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
+                r_best = jnp.where(ok, r_ref, r_best)
+                t_best = jnp.where(ok, t_ref, t_best)
 
             # Optional featuremetric refinement against the winning template's
             # (already-fetched) bank, mirroring the single-chip pipeline.
@@ -216,7 +247,7 @@ def make_sharded_step(
                 cvalid[best],
             )
 
-        return jax.vmap(one)(fmaps, masks, cam_f, cam_c, keys)
+        return jax.vmap(one)(fmaps, masks, cam_f, cam_c, sub_keys, keys)
 
     data_spec = P(DATA_AXIS)
     rep_spec = P()
@@ -299,15 +330,28 @@ def make_sharded_step_multi(
         fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
         fmaps = fmaps.astype(jnp.float32)
 
+        # Same key derivation as the other pipeline variants (see
+        # make_sharded_step): sub_keys = keys_all[:b_global],
+        # pnp keys = keys_all[b_global:], sliced per data shard.
         b_local = crops.shape[0]
         my_data = jax.lax.axis_index(DATA_AXIS)
-        keys_all = jax.random.split(key, jax.lax.axis_size(DATA_AXIS) * b_local)
-        keys = jax.lax.dynamic_slice_in_dim(keys_all, my_data * b_local, b_local)
+        b_global = jax.lax.axis_size(DATA_AXIS) * b_local
+        keys_all = jax.random.split(key, 2 * b_global)
+        sub_keys = jax.lax.dynamic_slice_in_dim(
+            keys_all, my_data * b_local, b_local
+        )
+        keys = jax.lax.dynamic_slice_in_dim(
+            keys_all, b_global + my_data * b_local, b_local
+        )
 
-        def one(fmap, mask, kf, kc, oi, k):
+        def one(fmap, mask, kf, kc, oi, sk, k):
             points, feats, valid = query_features_from_map(
                 fmap, mask, config.crop_size, config.grid_cell_size
             )
+            if config.max_num_queries < points.shape[0]:
+                valid = sampling.subsample_points(
+                    points, valid, config.max_num_queries, sk
+                )
             if has_pca:
                 proj = jax.tree.map(lambda a: a[oi], raw_projector)
                 feats = pca_transform(proj, feats)
@@ -329,11 +373,13 @@ def make_sharded_step_multi(
                     points, feats, valid, bfeats, bmask, config.top_k_buddies,
                     approx_topk=config.approx_topk,
                 )
+                # No LM here — winner-only refinement below, matching the
+                # single-chip and single-object-sharded paths.
                 res = pnp_mod.ransac_pnp(
                     points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
                     num_hypotheses=config.pnp_ransac_iter,
                     inlier_thresh=config.pnp_inlier_thresh,
-                    refine_lm=config.pnp_refine_lm,
+                    refine_lm=False,
                     lm_iters=config.lm_iters,
                 )
                 return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
@@ -346,6 +392,35 @@ def make_sharded_step_multi(
             best = jnp.argmax(quality)
             r_best = results.R[best]
             t_best = results.t[best]
+
+            # LM refinement of the winner only (reference: pnp_util.py:66-74).
+            if config.pnp_refine_lm:
+                r_ref, t_ref = pnp_mod.refine_pose_lm(
+                    r_best, t_best,
+                    c2d[best].astype(jnp.float32),
+                    c3d[best].astype(jnp.float32),
+                    results.inliers[best], kf, kc, iters=config.lm_iters,
+                )
+                ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
+                r_best = jnp.where(ok, r_ref, r_best)
+                t_best = jnp.where(ok, t_ref, t_best)
+
+            # Optional featuremetric refinement against the winning template's
+            # (already-fetched) bank — present on every pipeline variant so
+            # the multi-object sharded path cannot drift from the others.
+            if config.refine_featuremetric:
+                from foundpose_tpu.pose.featuremetric import (
+                    refine_pose_featuremetric,
+                )
+
+                fmap_proj = pca_transform(proj, fmap) if has_pca else fmap
+                r_best, t_best, _ = refine_pose_featuremetric(
+                    r_best, t_best, fmap_proj, kf, kc,
+                    sel_verts[best], sel_feats[best], sel_mask[best],
+                    crop_size=config.crop_size,
+                    iters=config.featuremetric_iters,
+                )
+
             num_grid = points.shape[0]
             score = inference_mod.estimate_score(
                 r_best, t_best, c2d[best], c2d_ids[best], c3d[best],
@@ -360,7 +435,7 @@ def make_sharded_step_multi(
                 cvalid[best],
             )
 
-        return jax.vmap(one)(fmaps, masks, cam_f, cam_c, obj_idx, keys)
+        return jax.vmap(one)(fmaps, masks, cam_f, cam_c, obj_idx, sub_keys, keys)
 
     data_spec = P(DATA_AXIS)
     rep_spec = P()

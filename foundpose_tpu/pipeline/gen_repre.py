@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -72,6 +72,11 @@ class GenRepreOpts:
     overwrite: bool = False
     # Skip objects whose repre.npz already exists (stage-level resume).
     resume: bool = False
+    # Injection seam: DinoV2Config field replacements applied after
+    # parse_model_name (e.g. {"embed_dim": 32, "depth": 2} for tiny test
+    # ViTs) — tests configure through opts instead of monkey-patching
+    # dinov2.parse_model_name.
+    vit_overrides: Optional[Dict[str, Any]] = None
 
     templates_dir: str = ""
     output_dir: str = ""
@@ -114,9 +119,11 @@ def load_template_arrays(
 ) -> Tuple[np.ndarray, ...]:
     """Loads ALL template rgb/depth/mask images + cameras from metadata.
 
-    The builder itself streams chunks instead (generate_repre) so decode
-    overlaps device work and peak memory stays one chunk; this whole-set
-    loader remains for tools/tests that want everything at once.
+    This is also exactly what the builder does: generate_repre decodes the
+    full template set up front and then registers it in batched chunks (a
+    streamed decode-register loop measured 1.5-2x slower on the 1-core bench
+    host — see the comment in generate_repre). This standalone loader serves
+    tools/tests that want the arrays without the registration pass.
     """
     loaded = [_load_one_template(item, templates_dir) for item in metadata]
     images, depths, masks, cam_f, cam_c, cam_t, whs = zip(*loaded)
@@ -176,11 +183,12 @@ def generate_repre(
     import jax.numpy as jnp
 
     timer = Timer(logger=logger)
-    vit_cfg = dataclasses.replace(
-        dinov2.parse_model_name(opts.extractor_name),
+    vit_cfg = dinov2.resolve_config(
+        opts.extractor_name,
         use_pallas_attention=opts.use_pallas_attention,
         use_fused_block=opts.use_fused_block,
         approx_gelu=opts.approx_gelu,
+        overrides=opts.vit_overrides,
     )
     if vit_params is None:
         if opts.weights_path:
@@ -319,11 +327,12 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
     """CLI driver over objects. (reference: scripts/gen_repre.py:380-398)"""
     import jax
 
-    vit_cfg = dataclasses.replace(
-        dinov2.parse_model_name(opts.extractor_name),
+    vit_cfg = dinov2.resolve_config(
+        opts.extractor_name,
         use_pallas_attention=opts.use_pallas_attention,
         use_fused_block=opts.use_fused_block,
         approx_gelu=opts.approx_gelu,
+        overrides=opts.vit_overrides,
     )
     if opts.weights_path:
         vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)

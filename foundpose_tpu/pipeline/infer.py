@@ -104,6 +104,16 @@ class InferOpts:
     resume: bool = False
     debug: bool = False
 
+    # Injection seams (no reference counterpart): `vit_overrides` patches
+    # fields of the parsed DinoV2Config (dataclasses.replace semantics,
+    # e.g. {"embed_dim": 32, "depth": 2} for tiny test ViTs or
+    # {"softmax_stabilizer": "capped"} for kernel sweeps) and
+    # `dataset_crop_size` overrides the dataset's default center-crop in
+    # prepare_sample — so tests/experiments configure through opts instead
+    # of monkey-patching module globals.
+    vit_overrides: Optional[Dict[str, Any]] = None
+    dataset_crop_size: Optional[Tuple[int, int]] = None
+
     bop_root: str = ""
     repre_dir: str = ""
     detections_path: str = ""
@@ -132,35 +142,14 @@ class PendingInstance:
 
 
 def make_warp_fn(crop_size: Tuple[int, int]):
-    """Jitted batched image+mask warp into per-instance crop cameras.
+    """Jitted single-image -> many-crop-cameras warp (the image enters the
+    program ONCE; only masks/cameras are batched, so no [n, H, W, 3] image
+    replicas are staged — replaces the per-instance cv2.remap calls,
+    reference: scripts/infer.py:438-449). Shared with the serving engine via
+    ops/warp.make_single_image_warp."""
+    from foundpose_tpu.ops.warp import make_single_image_warp
 
-    (replaces the per-instance cv2.remap calls, reference: scripts/infer.py:438-449)
-    """
-    import jax
-    import jax.numpy as jnp
-
-    from foundpose_tpu.ops import warp as warp_mod
-
-    @jax.jit
-    def warp_batch(images, masks, src_cams: PinholeCamera, dst_cams: PinholeCamera):
-        def one(img, msk, sf, sc, st, df, dc, dt):
-            src = PinholeCamera(f=sf, c=sc, T_world_from_eye=st,
-                                width=src_cams.width, height=src_cams.height)
-            dst = PinholeCamera(f=df, c=dc, T_world_from_eye=dt,
-                                width=crop_size[0], height=crop_size[1])
-            # area2x tracks the reference's INTER_AREA choice for downscaling
-            # crops and degrades gracefully to (slightly smoothed) bilinear
-            # when upsampling (reference: scripts/infer.py:433-443).
-            out_img = warp_mod.warp_image(src, dst, img, interpolation="area2x")
-            out_msk = warp_mod.warp_image(src, dst, msk, interpolation="nearest")
-            return out_img, out_msk
-
-        return jax.vmap(one)(
-            images, masks, src_cams.f, src_cams.c, src_cams.T_world_from_eye,
-            dst_cams.f, dst_cams.c, dst_cams.T_world_from_eye,
-        )
-
-    return warp_batch
+    return make_single_image_warp(crop_size)
 
 
 def prepare_instance_crops(
@@ -208,24 +197,28 @@ def prepare_instance_crops(
         orig_cam = jax.tree.map(np.asarray, orig_cam)
     if not kept:
         return []
-    dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
-    src_cams = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (len(kept),) + x.shape), orig_cam
+    # Pad the detection count up to a small set of buckets (multiples of 8)
+    # so the jitted warp compiles once per bucket instead of once per
+    # distinct per-image detection count (each fresh compile on the tunneled
+    # chip costs seconds). Padding replicates the last camera/mask; padded
+    # outputs are sliced away below.
+    n = len(kept)
+    n_pad = -(-n // 8) * 8
+    padded_cams = crop_cams + [crop_cams[-1]] * (n_pad - n)
+    dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *padded_cams)
+    mask_list = [
+        d.mask.astype(np.float32)
+        if d.mask is not None
+        else np.ones((h, w), np.float32)
+        for d in kept
+    ]
+    mask_list += [mask_list[-1]] * (n_pad - n)
+    masks = jnp.asarray(np.stack(mask_list))
+    crop_images, crop_masks = warp_batch(
+        jnp.asarray(image), masks, orig_cam, dst_cams
     )
-    images = jnp.asarray(np.stack([image] * len(kept)))
-    masks = jnp.asarray(
-        np.stack(
-            [
-                d.mask.astype(np.float32)
-                if d.mask is not None
-                else np.ones((h, w), np.float32)
-                for d in kept
-            ]
-        )
-    )
-    crop_images, crop_masks = warp_batch(images, masks, src_cams, dst_cams)
-    crop_images = np.asarray(crop_images)
-    crop_masks = np.asarray(crop_masks)
+    crop_images = np.asarray(crop_images)[:n]
+    crop_masks = np.asarray(crop_masks)[:n]
     prep_time = (time.perf_counter() - t0) / len(kept)
 
     out = []
@@ -264,6 +257,128 @@ def prepare_instance_crops(
     return out
 
 
+def _unpack_result(out_np, i: int) -> Dict[str, Any]:
+    """One instance's result dict from a fetched batch output (shared by the
+    single-object and multi-object batch runners)."""
+    return {
+        "success": bool(out_np.success[i]),
+        "R_m2w": out_np.R_m2w[i],
+        "t_m2w": out_np.t_m2w[i],
+        "R_m2c": out_np.R_m2c[i],
+        "t_m2c": out_np.t_m2c[i],
+        "quality": float(out_np.quality[i]),
+        "score": float(out_np.score[i]),
+        "best_template": int(out_np.best_template[i]),
+        "num_queries": float(out_np.num_queries[i]),
+        "template_ids": out_np.template_ids[i],
+        "corresp_2d": out_np.best_corresp_2d[i],
+        "corresp_2d_ids": out_np.best_corresp_2d_ids[i],
+        "corresp_3d": out_np.best_corresp_3d[i],
+        "corresp_conf": out_np.best_corresp_conf[i],
+        "corresp_valid": out_np.best_corresp_valid[i],
+    }
+
+
+class BatchRunner:
+    """Streaming dispatcher: keeps up to `max_in_flight` dispatched batches
+    un-fetched, so device compute overlaps host-side decode/prep/stacking of
+    LATER images (jax dispatch is asynchronous; the serving engine uses the
+    same pattern, engine._dispatch_chunks). The synchronous fetch-per-batch
+    loop this replaces serialized a full host<->device round trip into every
+    batch — at >1600 crops/sec device-side that round trip, not compute,
+    bounded CLI throughput. Host memory stays bounded: at most
+    (max_in_flight + 1) batches of pendings are alive at once.
+
+    Usage: push(instances) after each image; results() to flush + collect.
+    """
+
+    def __init__(self, batch_size: int, dispatch_one, max_in_flight: int = 4):
+        self.batch_size = batch_size
+        self.dispatch_one = dispatch_one
+        self.max_in_flight = max_in_flight
+        self._buffer: List[PendingInstance] = []
+        self._in_flight: List[Tuple[List[PendingInstance], Any]] = []
+        self._results: List[Tuple[PendingInstance, Dict[str, Any]]] = []
+        self._seq = 0
+        self._t0 = time.perf_counter()
+
+    def _fetch_oldest(self) -> None:
+        import jax
+
+        chunk, out = self._in_flight.pop(0)
+        out_np = jax.tree.map(np.asarray, out)  # forces execution
+        for i, p in enumerate(chunk):
+            self._results.append((p, _unpack_result(out_np, i)))
+
+    def _dispatch(self, chunk: List[PendingInstance]) -> None:
+        padded = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+        self._in_flight.append((chunk, self.dispatch_one(self._seq, padded)))
+        self._seq += 1
+        while len(self._in_flight) > self.max_in_flight:
+            self._fetch_oldest()
+
+    def push(self, instances: List[PendingInstance]) -> None:
+        self._buffer.extend(instances)
+        while len(self._buffer) >= self.batch_size:
+            self._dispatch(self._buffer[: self.batch_size])
+            self._buffer = self._buffer[self.batch_size :]
+
+    def results(self) -> List[Tuple[PendingInstance, Dict[str, Any]]]:
+        """Flushes the remainder batch + all in-flight work and returns every
+        (instance, result) pair pushed so far."""
+        if self._buffer:
+            self._dispatch(self._buffer)
+            self._buffer = []
+        while self._in_flight:
+            self._fetch_oldest()
+        # Per-instance share of the whole dispatch+fetch wall (per-batch
+        # timing is meaningless once dispatch is asynchronous).
+        if self._results:
+            step_time = (time.perf_counter() - self._t0) / len(self._results)
+            for p, _ in self._results:
+                p.times["pipeline"] = step_time
+        return self._results
+
+
+def _run_batches_async(pending, batch_size, dispatch_one):
+    """One-shot wrapper over BatchRunner for callers with a fixed work list."""
+    runner = BatchRunner(batch_size, dispatch_one)
+    runner.push(pending)
+    return runner.results()
+
+
+def _iter_samples_prefetched(image_keys, load_fn, depth: int = 2):
+    """Background-thread sample loader: decodes image i+1..i+depth while the
+    main thread preps/dispatches image i. PIL's PNG decode releases the GIL
+    for the compressed-data inflate, so even a single-core host overlaps
+    some decode with the (also GIL-releasing) device dispatch; on multi-core
+    serving hosts the loader thread runs fully in parallel. Exceptions in
+    the loader re-raise in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        try:
+            for im_key in image_keys:
+                q.put((im_key, load_fn(*im_key)))
+        except BaseException as e:
+            q.put((sentinel, e))
+            return
+        q.put((sentinel, None))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        im_key, val = q.get()
+        if im_key is sentinel:
+            if val is not None:
+                raise val
+            return
+        yield im_key, val
+
+
 def run_batches(
     pending: List[PendingInstance],
     step,
@@ -271,49 +386,21 @@ def run_batches(
     repre,
     batch_size: int,
 ) -> List[Tuple[PendingInstance, Dict[str, Any]]]:
-    """Runs the jitted pipeline over fixed-size batches (last batch padded)."""
+    """Runs the jitted pipeline over fixed-size batches (last batch padded),
+    dispatching all batches before fetching any (reference per-instance loop:
+    scripts/infer.py:368-733)."""
     import jax
     import jax.numpy as jnp
 
-    results = []
-    for s in range(0, len(pending), batch_size):
-        chunk = pending[s : s + batch_size]
-        pad = batch_size - len(chunk)
-        padded = chunk + [chunk[-1]] * pad
+    def dispatch_one(s, padded):
         crops = jnp.asarray(np.stack([p.crop_image for p in padded]))
         masks = jnp.asarray(np.stack([p.crop_mask for p in padded]))
         cams = jax.tree.map(
             lambda *x: jnp.stack(x), *[p.crop_camera for p in padded]
         )
-        t0 = time.perf_counter()
-        out = step(vit_params, crops, masks, cams, repre, jax.random.PRNGKey(s))
-        out_np = jax.tree.map(np.asarray, out)  # forces execution
-        step_time = (time.perf_counter() - t0) / len(chunk)
-        for i, p in enumerate(chunk):
-            p.times["pipeline"] = step_time
-            results.append(
-                (
-                    p,
-                    {
-                        "success": bool(out_np.success[i]),
-                        "R_m2w": out_np.R_m2w[i],
-                        "t_m2w": out_np.t_m2w[i],
-                        "R_m2c": out_np.R_m2c[i],
-                        "t_m2c": out_np.t_m2c[i],
-                        "quality": float(out_np.quality[i]),
-                        "score": float(out_np.score[i]),
-                        "best_template": int(out_np.best_template[i]),
-                        "num_queries": float(out_np.num_queries[i]),
-                        "template_ids": out_np.template_ids[i],
-                        "corresp_2d": out_np.best_corresp_2d[i],
-                        "corresp_2d_ids": out_np.best_corresp_2d_ids[i],
-                        "corresp_3d": out_np.best_corresp_3d[i],
-                        "corresp_conf": out_np.best_corresp_conf[i],
-                        "corresp_valid": out_np.best_corresp_valid[i],
-                    },
-                )
-            )
-    return results
+        return step(vit_params, crops, masks, cams, repre, jax.random.PRNGKey(s))
+
+    return _run_batches_async(pending, batch_size, dispatch_one)
 
 
 def save_visualization(
@@ -393,15 +480,166 @@ def save_visualization(
     Image.fromarray(grid).save(out_path)
 
 
+def finalize_object_results(
+    opts: InferOpts,
+    lid: int,
+    results: List[Tuple[PendingInstance, Dict[str, Any]]],
+    repre,
+    model,
+    evaluator: EvaluatorPose,
+    pts: np.ndarray,
+    sym_r: np.ndarray,
+    sym_t: np.ndarray,
+    diameter: Optional[float],
+) -> None:
+    """Visualization, evaluator accumulation, and output files for ONE object.
+
+    Shared tail of the single-object and multi-object drivers so the two
+    paths cannot drift: tile grids + error PLYs + histograms (reference:
+    scripts/infer.py:746-802), evaluator accumulation including the
+    retrieved-template orientation error (reference:
+    utils/eval_util.py:175-188), estimated-poses.json + metric tables +
+    HTML gallery (reference: scripts/infer.py:813-816,
+    utils/eval_util.py:400-590).
+    """
+    renderer = None
+    vis_images = []
+    if opts.vis_results:
+        from foundpose_tpu.renderer.base import RendererType, build as build_renderer
+
+        renderer = build_renderer(RendererType.SOFTWARE_RASTERIZER)
+        renderer.add_object_model(lid, model)
+        vis_dir = os.path.join(
+            opts.output_dir, opts.object_dataset, opts.version, str(lid), "vis"
+        )
+        for vi, (p, r) in enumerate(results[: opts.vis_count]):
+            if not r["success"]:
+                continue
+            path = os.path.join(
+                vis_dir, f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}.png"
+            )
+            save_visualization(
+                p, r, repre, renderer, lid, path,
+                max_corresp=opts.vis_corresp_top_n,
+                inlier_radius=opts.pnp_inlier_thresh,
+            )
+            vis_images.append((r, path))
+            if p.gt is not None:
+                # GT-vs-estimate vertex point cloud for 3D inspection
+                # (reference: utils/vis_util.py:78-124), in the original
+                # camera frame (where gt poses live).
+                from foundpose_tpu.vis.inference_vis import vis_pointcloud_error
+
+                t_w2oc = np.linalg.inv(
+                    np.asarray(p.orig_camera.T_world_from_eye)
+                )
+                m2w = np.eye(4)
+                m2w[:3, :3] = np.asarray(r["R_m2w"])
+                m2w[:3, 3] = np.asarray(r["t_m2w"]).flatten()
+                m2oc = t_w2oc @ m2w
+                vis_pointcloud_error(
+                    pts, m2oc[:3, :3], m2oc[:3, 3],
+                    p.gt.R_m2c, p.gt.t_m2c,
+                    os.path.join(
+                        vis_dir,
+                        f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}_error.ply",
+                    ),
+                )
+        # Run-level score/error histograms (reference plot primitives,
+        # utils/vis_base_util.py:46-437).
+        from PIL import Image as _Image
+
+        from foundpose_tpu.vis.base import draw_histogram
+
+        scores = [r["score"] for _, r in results if r["success"]]
+        if scores:
+            _Image.fromarray(
+                draw_histogram(np.asarray(scores), title="score")
+            ).save(os.path.join(vis_dir, "score_hist.png"))
+
+    cam_t_np = np.asarray(repre.template_cameras.T_world_from_eye)
+    for p, r in results:
+        if not r["success"]:
+            continue
+        # Orientations (model->camera) of all retrieved templates, for the
+        # template-orientation-error accumulator
+        # (reference: utils/eval_util.py:175-188).
+        tpl_r_m2c = None
+        if p.gt is not None:
+            tids = np.asarray(r["template_ids"], dtype=int).reshape(-1)
+            tpl_r_m2c = np.stack(
+                [np.linalg.inv(cam_t_np[tid])[:3, :3] for tid in tids]
+            )
+        evaluator.update(
+            scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
+            hypothesis_id=0, obj_id=p.obj_id,
+            R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
+            orig_camera_c2w=p.orig_camera,
+            score=r["score"],
+            time_per_inst=p.times,
+            R_gt_m2c=p.gt.R_m2c if p.gt else None,
+            t_gt_m2c=p.gt.t_m2c if p.gt else None,
+            model_pts=pts if p.gt else None,
+            sym_r=sym_r if p.gt else None,
+            sym_t=sym_t if p.gt else None,
+            K=np.asarray(p.orig_camera.K) if p.gt else None,
+            camera_c2w=p.crop_camera,
+            corresp={
+                "coord_2d": r["corresp_2d"],
+                "coord_2d_ids": r["corresp_2d_ids"],
+                "coord_3d": r["corresp_3d"],
+                "valid": r["corresp_valid"],
+            },
+            object_diameter=diameter,
+            retrieved_template_R_m2c=tpl_r_m2c,
+            mask_iou=p.mask_iou,
+            inlier_radius=opts.pnp_inlier_thresh,
+        )
+
+    if opts.save_estimates:
+        out_dir = os.path.join(
+            opts.output_dir, opts.object_dataset, opts.version, str(lid)
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        config_util.save_opts(opts, os.path.join(out_dir, "config.json"))
+        evaluator.save_results_json(
+            os.path.join(out_dir, "estimated-poses.json")
+        )
+        evaluator.save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
+        # Reference-layout per-object metric table
+        # (reference: utils/eval_util.py:400-516).
+        evaluator.save_metrics(
+            os.path.join(out_dir, "metrics-table.tsv"),
+            inlier_thresh=opts.pnp_inlier_thresh,
+        )
+        # Best/worst gallery over the visualized estimates
+        # (reference: utils/eval_util.py:518-590).
+        if vis_images:
+            from PIL import Image as PILImage
+
+            from foundpose_tpu.vis.html_report import write_gallery
+
+            recs, imgs = [], []
+            for r, path in vis_images:
+                recs.append({"score": r["score"], "quality": r["quality"]})
+                imgs.append(np.asarray(PILImage.open(path)))
+            write_gallery(
+                os.path.join(out_dir, "report.html"), recs, imgs,
+                metric_key="score", top_n=min(10, len(recs)),
+            )
+    logger.info(f"Summary for object {lid}: {evaluator.summary()}")
+
+
 def infer(opts: InferOpts) -> None:
     import jax
     import jax.numpy as jnp_mod
 
-    vit_cfg = dataclasses.replace(
-        dinov2.parse_model_name(opts.extractor_name),
+    vit_cfg = dinov2.resolve_config(
+        opts.extractor_name,
         use_pallas_attention=opts.use_pallas_attention,
         use_fused_block=opts.use_fused_block,
         approx_gelu=opts.approx_gelu,
+        overrides=opts.vit_overrides,
     )
     if opts.weights_path:
         vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
@@ -458,8 +696,17 @@ def infer(opts: InferOpts) -> None:
 
         # Gather (scene, image) pairs: from detections, or from GT annotations
         # when use_detections=False (reference: infer_pose_util.py:140-149).
-        pending: List[PendingInstance] = []
-        results = []
+        def dispatch_one(s, padded, _repre=repre):
+            crops = jnp_mod.asarray(np.stack([p.crop_image for p in padded]))
+            masks = jnp_mod.asarray(np.stack([p.crop_mask for p in padded]))
+            cams = jax.tree.map(
+                lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
+            )
+            return step(
+                vit_params, crops, masks, cams, _repre, jax.random.PRNGKey(s)
+            )
+
+        runner = BatchRunner(opts.batch_size, dispatch_one)
         if opts.use_detections:
             keys = sorted(k for k in all_dets if k[2] == lid)
             image_keys = [(s, i) for s, i, _ in keys]
@@ -468,11 +715,16 @@ def infer(opts: InferOpts) -> None:
             for scene_id in bop.list_scenes(opts.bop_root, opts.object_dataset):
                 for im_id in bop.list_images(opts.bop_root, opts.object_dataset, scene_id):
                     image_keys.append((scene_id, im_id))
-        for scene_id, im_id in image_keys:
-            sample = bop.prepare_sample(
+        def load_sample(scene_id, im_id):
+            return bop.prepare_sample(
                 opts.bop_root, opts.object_dataset, scene_id, im_id,
                 load_gt=True, load_masks=not opts.use_detections,
+                crop_size=opts.dataset_crop_size,
             )
+
+        for (scene_id, im_id), sample in _iter_samples_prefetched(
+            image_keys, load_sample
+        ):
             if opts.use_detections:
                 gt_count = sum(1 for g in sample.gt if g.obj_id == lid)
                 max_preds = max(1, int(opts.num_preds_factor * max(gt_count, 1)))
@@ -499,151 +751,22 @@ def infer(opts: InferOpts) -> None:
                         )
                     )
                 evaluator.detection_times[(scene_id, im_id)] = 0.0
-            pending.extend(prepare_instance_crops(sample, instances, opts, warp_batch))
-            # Stream full batches to the device as they fill, so host memory
-            # stays bounded by ~2 batches of crops rather than the whole split.
-            while len(pending) >= opts.batch_size:
-                results.extend(
-                    run_batches(pending[: opts.batch_size], step, vit_params,
-                                repre, opts.batch_size)
-                )
-                pending = pending[opts.batch_size :]
+            # Stream batches to the device as they fill (host memory stays
+            # bounded by a few batches of crops) WITHOUT fetching results
+            # until several more batches are dispatched — the runner overlaps
+            # device compute with the next images' decode/prep.
+            runner.push(prepare_instance_crops(sample, instances, opts, warp_batch))
 
-        if pending:
-            results.extend(
-                run_batches(pending, step, vit_params, repre, opts.batch_size)
-            )
+        results = runner.results()
         logger.info(f"{len(results)} instances processed for object {lid}")
         if not results:
             continue
 
-        renderer = None
-        vis_images = []
-        if opts.vis_results:
-            from foundpose_tpu.renderer.base import RendererType, build as build_renderer
-
-            renderer = build_renderer(RendererType.SOFTWARE_RASTERIZER)
-            renderer.add_object_model(lid, model)
-            vis_dir = os.path.join(
-                opts.output_dir, opts.object_dataset, opts.version, str(lid), "vis"
-            )
-            for vi, (p, r) in enumerate(results[: opts.vis_count]):
-                if not r["success"]:
-                    continue
-                path = os.path.join(
-                    vis_dir, f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}.png"
-                )
-                save_visualization(
-                    p, r, repre, renderer, lid, path,
-                    max_corresp=opts.vis_corresp_top_n,
-                    inlier_radius=opts.pnp_inlier_thresh,
-                )
-                vis_images.append((r, path))
-                if p.gt is not None:
-                    # GT-vs-estimate vertex point cloud for 3D inspection
-                    # (reference: utils/vis_util.py:78-124), in the original
-                    # camera frame (where gt poses live).
-                    from foundpose_tpu.vis.inference_vis import vis_pointcloud_error
-
-                    t_w2oc = np.linalg.inv(
-                        np.asarray(p.orig_camera.T_world_from_eye)
-                    )
-                    m2w = np.eye(4)
-                    m2w[:3, :3] = np.asarray(r["R_m2w"])
-                    m2w[:3, 3] = np.asarray(r["t_m2w"]).flatten()
-                    m2oc = t_w2oc @ m2w
-                    vis_pointcloud_error(
-                        pts, m2oc[:3, :3], m2oc[:3, 3],
-                        p.gt.R_m2c, p.gt.t_m2c,
-                        os.path.join(
-                            vis_dir,
-                            f"s{p.scene_id}_im{p.im_id}_i{p.inst_id}_error.ply",
-                        ),
-                    )
-            # Run-level score/error histograms (reference plot primitives,
-            # utils/vis_base_util.py:46-437).
-            from PIL import Image as _Image
-
-            from foundpose_tpu.vis.base import draw_histogram
-
-            scores = [r["score"] for _, r in results if r["success"]]
-            if scores:
-                _Image.fromarray(
-                    draw_histogram(np.asarray(scores), title="score")
-                ).save(os.path.join(vis_dir, "score_hist.png"))
-
-        cam_t_np = np.asarray(repre.template_cameras.T_world_from_eye)
         diameter = float(info["diameter"]) if "diameter" in info else None
-        for p, r in results:
-            if not r["success"]:
-                continue
-            # Orientations (model->camera) of all retrieved templates, for the
-            # template-orientation-error accumulator
-            # (reference: utils/eval_util.py:175-188).
-            tpl_r_m2c = None
-            if p.gt is not None:
-                tids = np.asarray(r["template_ids"], dtype=int).reshape(-1)
-                tpl_r_m2c = np.stack(
-                    [np.linalg.inv(cam_t_np[tid])[:3, :3] for tid in tids]
-                )
-            evaluator.update(
-                scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
-                hypothesis_id=0, obj_id=p.obj_id,
-                R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
-                orig_camera_c2w=p.orig_camera,
-                score=r["score"],
-                time_per_inst=p.times,
-                R_gt_m2c=p.gt.R_m2c if p.gt else None,
-                t_gt_m2c=p.gt.t_m2c if p.gt else None,
-                model_pts=pts if p.gt else None,
-                sym_r=sym_r if p.gt else None,
-                sym_t=sym_t if p.gt else None,
-                K=np.asarray(p.orig_camera.K) if p.gt else None,
-                camera_c2w=p.crop_camera,
-                corresp={
-                    "coord_2d": r["corresp_2d"],
-                    "coord_2d_ids": r["corresp_2d_ids"],
-                    "coord_3d": r["corresp_3d"],
-                    "valid": r["corresp_valid"],
-                },
-                object_diameter=diameter,
-                retrieved_template_R_m2c=tpl_r_m2c,
-                mask_iou=p.mask_iou,
-                inlier_radius=opts.pnp_inlier_thresh,
-            )
-
-        if opts.save_estimates:
-            out_dir = os.path.join(
-                opts.output_dir, opts.object_dataset, opts.version, str(lid)
-            )
-            os.makedirs(out_dir, exist_ok=True)
-            config_util.save_opts(opts, os.path.join(out_dir, "config.json"))
-            evaluator.save_results_json(
-                os.path.join(out_dir, "estimated-poses.json")
-            )
-            evaluator.save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
-            # Reference-layout per-object metric table
-            # (reference: utils/eval_util.py:400-516).
-            evaluator.save_metrics(
-                os.path.join(out_dir, "metrics-table.tsv"),
-                inlier_thresh=opts.pnp_inlier_thresh,
-            )
-            # Best/worst gallery over the visualized estimates
-            # (reference: utils/eval_util.py:518-590).
-            if vis_images:
-                from PIL import Image as PILImage
-
-                from foundpose_tpu.vis.html_report import write_gallery
-
-                recs, imgs = [], []
-                for r, path in vis_images:
-                    recs.append({"score": r["score"], "quality": r["quality"]})
-                    imgs.append(np.asarray(PILImage.open(path)))
-                write_gallery(
-                    os.path.join(out_dir, "report.html"), recs, imgs,
-                    metric_key="score", top_n=min(10, len(recs)),
-                )
-        logger.info(f"Summary for object {lid}: {evaluator.summary()}")
+        finalize_object_results(
+            opts, lid, results, repre, model, evaluator, pts, sym_r, sym_t,
+            diameter,
+        )
 
 
 def main() -> None:
@@ -670,51 +793,25 @@ def run_batches_multi(
     batch_size: int,
 ) -> List[Tuple[PendingInstance, Dict[str, Any]]]:
     """Mixed-object variant of run_batches: each crop carries its object index
-    into the stacked multi-object repre."""
+    into the stacked multi-object repre. Same dispatch-all-then-fetch driver."""
     import jax
     import jax.numpy as jnp
 
-    results = []
-    for s in range(0, len(pending), batch_size):
-        chunk = pending[s : s + batch_size]
-        pad = batch_size - len(chunk)
-        padded = chunk + [chunk[-1]] * pad
+    def dispatch_one(s, padded):
         crops = jnp.asarray(np.stack([p.crop_image for p in padded]))
         masks = jnp.asarray(np.stack([p.crop_mask for p in padded]))
-        cams = jax.tree.map(lambda *x: jnp.stack(x), *[p.crop_camera for p in padded])
-        obj_idx = jnp.asarray([obj_to_idx[p.obj_id] for p in padded], dtype=jnp.int32)
-        t0 = time.perf_counter()
-        out = step(
+        cams = jax.tree.map(
+            lambda *x: jnp.stack(x), *[p.crop_camera for p in padded]
+        )
+        obj_idx = jnp.asarray(
+            [obj_to_idx[p.obj_id] for p in padded], dtype=jnp.int32
+        )
+        return step(
             vit_params, crops, masks, cams, obj_idx, multi_repre,
             jax.random.PRNGKey(s),
         )
-        out_np = jax.tree.map(np.asarray, out)
-        step_time = (time.perf_counter() - t0) / len(chunk)
-        for i, p in enumerate(chunk):
-            p.times["pipeline"] = step_time
-            results.append(
-                (
-                    p,
-                    {
-                        "success": bool(out_np.success[i]),
-                        "R_m2w": out_np.R_m2w[i],
-                        "t_m2w": out_np.t_m2w[i],
-                        "R_m2c": out_np.R_m2c[i],
-                        "t_m2c": out_np.t_m2c[i],
-                        "quality": float(out_np.quality[i]),
-                        "score": float(out_np.score[i]),
-                        "best_template": int(out_np.best_template[i]),
-                        "num_queries": float(out_np.num_queries[i]),
-                        "template_ids": out_np.template_ids[i],
-                        "corresp_2d": out_np.best_corresp_2d[i],
-                        "corresp_2d_ids": out_np.best_corresp_2d_ids[i],
-                        "corresp_3d": out_np.best_corresp_3d[i],
-                        "corresp_conf": out_np.best_corresp_conf[i],
-                        "corresp_valid": out_np.best_corresp_valid[i],
-                    },
-                )
-            )
-    return results
+
+    return _run_batches_async(pending, batch_size, dispatch_one)
 
 
 def infer_multi_object(opts: InferOpts) -> None:
@@ -728,11 +825,12 @@ def infer_multi_object(opts: InferOpts) -> None:
     from foundpose_tpu.pipeline import multi_object as mo
     from foundpose_tpu.repre import stack_repres
 
-    vit_cfg = dataclasses.replace(
-        dinov2.parse_model_name(opts.extractor_name),
+    vit_cfg = dinov2.resolve_config(
+        opts.extractor_name,
         use_pallas_attention=opts.use_pallas_attention,
         use_fused_block=opts.use_fused_block,
         approx_gelu=opts.approx_gelu,
+        overrides=opts.vit_overrides,
     )
     if opts.weights_path:
         vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
@@ -787,87 +885,92 @@ def infer_multi_object(opts: InferOpts) -> None:
             pts,
             np.stack([s["R"] for s in syms]).astype(np.float32),
             np.stack([np.asarray(s["t"]).flatten() for s in syms]).astype(np.float32),
+            model,
         )
 
-    image_keys = sorted({(s, i) for (s, i, c) in all_dets if c in obj_to_idx})
-    pending: List[PendingInstance] = []
-    results: List[Tuple[PendingInstance, Dict[str, Any]]] = []
-    for scene_id, im_id in image_keys:
-        sample = bop.prepare_sample(
-            opts.bop_root, opts.object_dataset, scene_id, im_id, load_gt=True
+    # (scene, image) pairs: from detections, or every test image when
+    # use_detections=False — the same GT-fallback the single-object path has
+    # (reference: infer_pose_util.py:140-149).
+    if opts.use_detections:
+        image_keys = sorted({(s, i) for (s, i, c) in all_dets if c in obj_to_idx})
+    else:
+        image_keys = [
+            (s, i)
+            for s in bop.list_scenes(opts.bop_root, opts.object_dataset)
+            for i in bop.list_images(opts.bop_root, opts.object_dataset, s)
+        ]
+    def dispatch_one(s, padded):
+        crops = jnp_mod.asarray(np.stack([p.crop_image for p in padded]))
+        masks = jnp_mod.asarray(np.stack([p.crop_mask for p in padded]))
+        cams = jax.tree.map(
+            lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
         )
+        obj_idx = jnp_mod.asarray(
+            [obj_to_idx[p.obj_id] for p in padded], dtype=jnp_mod.int32
+        )
+        return step(
+            vit_params, crops, masks, cams, obj_idx, multi_repre,
+            jax.random.PRNGKey(s),
+        )
+
+    runner = BatchRunner(opts.batch_size, dispatch_one)
+
+    def load_sample(scene_id, im_id):
+        return bop.prepare_sample(
+            opts.bop_root, opts.object_dataset, scene_id, im_id, load_gt=True,
+            load_masks=not opts.use_detections,
+            crop_size=opts.dataset_crop_size,
+        )
+
+    for (scene_id, im_id), sample in _iter_samples_prefetched(
+        image_keys, load_sample
+    ):
         for lid in object_lids:
-            dets = all_dets.get((scene_id, im_id, lid))
-            if not dets:
-                continue
-            gt_count = sum(1 for g in sample.gt if g.obj_id == lid)
-            max_preds = max(1, int(opts.num_preds_factor * max(gt_count, 1)))
-            instances = det_mod.instances_for_pose_estimation(
-                dets, max_num_preds=max_preds, crop_offset=sample.crop_offset,
-                image_size=(sample.image.shape[1], sample.image.shape[0]),
-            )
-            for det in instances:
-                evaluators[lid].detection_times[(scene_id, im_id)] = det.time
-            pending.extend(prepare_instance_crops(sample, instances, opts, warp_batch))
-        while len(pending) >= opts.batch_size:
-            results.extend(
-                run_batches_multi(pending[: opts.batch_size], obj_to_idx, step,
-                                  vit_params, multi_repre, opts.batch_size)
-            )
-            pending = pending[opts.batch_size :]
-    if pending:
-        results.extend(
-            run_batches_multi(pending, obj_to_idx, step, vit_params, multi_repre,
-                              opts.batch_size)
-        )
+            if opts.use_detections:
+                dets = all_dets.get((scene_id, im_id, lid))
+                if not dets:
+                    continue
+                gt_count = sum(1 for g in sample.gt if g.obj_id == lid)
+                max_preds = max(1, int(opts.num_preds_factor * max(gt_count, 1)))
+                instances = det_mod.instances_for_pose_estimation(
+                    dets, max_num_preds=max_preds, crop_offset=sample.crop_offset,
+                    image_size=(sample.image.shape[1], sample.image.shape[0]),
+                )
+                for det in instances:
+                    evaluators[lid].detection_times[(scene_id, im_id)] = det.time
+            else:
+                instances = []
+                for g in sample.gt:
+                    if g.obj_id != lid or g.visib_fract < opts.min_visibility:
+                        continue
+                    if g.box_amodal is None:
+                        continue
+                    instances.append(
+                        det_mod.Detection(
+                            scene_id=scene_id, im_id=im_id, obj_id=lid,
+                            score=1.0, box_xyxy=np.asarray(g.box_amodal),
+                            mask=g.mask_visib, time=0.0,
+                        )
+                    )
+                if not instances:
+                    continue
+                evaluators[lid].detection_times[(scene_id, im_id)] = 0.0
+            runner.push(prepare_instance_crops(sample, instances, opts, warp_batch))
+    results = runner.results()
     logger.info(f"{len(results)} instances processed over {len(object_lids)} objects")
 
+    # Shared per-object tail (vis + evaluator incl. retrieved-template
+    # orientations + outputs) — identical to the single-object driver's.
+    results_by_lid: Dict[int, List[Tuple[PendingInstance, Dict[str, Any]]]] = {
+        lid: [] for lid in object_lids
+    }
     for p, r in results:
-        if not r["success"]:
-            continue
-        pts, sym_r, sym_t = obj_meta[p.obj_id]
-        evaluators[p.obj_id].update(
-            scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
-            hypothesis_id=0, obj_id=p.obj_id,
-            R_m2w=r["R_m2w"], t_m2w=r["t_m2w"],
-            orig_camera_c2w=p.orig_camera,
-            score=r["score"],
-            time_per_inst=p.times,
-            R_gt_m2c=p.gt.R_m2c if p.gt else None,
-            t_gt_m2c=p.gt.t_m2c if p.gt else None,
-            model_pts=pts if p.gt else None,
-            sym_r=sym_r if p.gt else None,
-            sym_t=sym_t if p.gt else None,
-            K=np.asarray(p.orig_camera.K) if p.gt else None,
-            camera_c2w=p.crop_camera,
-            corresp={
-                "coord_2d": r["corresp_2d"],
-                "coord_2d_ids": r["corresp_2d_ids"],
-                "coord_3d": r["corresp_3d"],
-                "valid": r["corresp_valid"],
-            },
-            object_diameter=(
-                float(models_info[p.obj_id]["diameter"])
-                if "diameter" in models_info.get(p.obj_id, {})
-                else None
-            ),
-            mask_iou=p.mask_iou,
-            inlier_radius=opts.pnp_inlier_thresh,
+        results_by_lid[p.obj_id].append((p, r))
+    for lid in object_lids:
+        pts, sym_r, sym_t, model = obj_meta[lid]
+        info = models_info.get(lid, {})
+        diameter = float(info["diameter"]) if "diameter" in info else None
+        finalize_object_results(
+            opts, lid, results_by_lid[lid], repres[lid], model,
+            evaluators[lid], pts, sym_r, sym_t, diameter,
         )
-
-    if opts.save_estimates:
-        for lid in object_lids:
-            out_dir = os.path.join(
-                opts.output_dir, opts.object_dataset, opts.version, str(lid)
-            )
-            os.makedirs(out_dir, exist_ok=True)
-            config_util.save_opts(opts, os.path.join(out_dir, "config.json"))
-            evaluators[lid].save_results_json(
-                os.path.join(out_dir, "estimated-poses.json")
-            )
-            evaluators[lid].save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
-            evaluators[lid].save_metrics(
-                os.path.join(out_dir, "metrics-table.tsv"),
-                inlier_thresh=opts.pnp_inlier_thresh,
-            )
-            logger.info(f"Summary object {lid}: {evaluators[lid].summary()}")

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from foundpose_tpu import geometry
 from foundpose_tpu.models import dinov2
+from foundpose_tpu.ops import sampling
 from foundpose_tpu.ops.pca import pca_transform
 from foundpose_tpu.ops.tfidf import tfidf_retrieve
 from foundpose_tpu.pipeline.inference import (
@@ -50,7 +51,7 @@ def pose_from_features_multi(
     b = feature_maps.shape[0]
     cdt = config.compute_dtype
 
-    def per_crop(fmap, mask, cam_f, cam_c, oi, crop_key):
+    def per_crop(fmap, mask, cam_f, cam_c, oi, sub_key, crop_key):
         # Gather this crop's object tables (XLA lowers to HBM gathers).
         words = multi_repre.word_centroids[oi].astype(cdt)
         idfs = multi_repre.word_idfs[oi].astype(cdt)
@@ -67,6 +68,10 @@ def pose_from_features_multi(
         points, feats, valid = query_features_from_map(
             fmap, mask, config.crop_size, config.grid_cell_size
         )
+        if config.max_num_queries < points.shape[0]:
+            valid = sampling.subsample_points(
+                points, valid, config.max_num_queries, sub_key
+            )
         if multi_repre.raw_projector is not None:
             proj = jax.tree.map(lambda a: a[oi], multi_repre.raw_projector)
             feats = pca_transform(proj, feats)
@@ -87,38 +92,77 @@ def pose_from_features_multi(
             top_k=config.top_k_buddies,
             approx_topk=config.approx_topk,
         )
+        # No per-template LM: selection is by the PRE-refinement inlier count
+        # (identical policy in all four pipeline variants; see
+        # inference.solve_batch), the winner alone is refined below.
         pnp_keys = jax.random.split(crop_key, config.top_n_templates)
         results = jax.vmap(
             lambda c2, c3, v, k: pnp_mod.ransac_pnp(
                 c2, c3, v, cam_f, cam_c, k,
                 num_hypotheses=config.pnp_ransac_iter,
                 inlier_thresh=config.pnp_inlier_thresh,
-                refine_lm=config.pnp_refine_lm,
+                refine_lm=False,
                 lm_iters=config.lm_iters,
             )
         )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
         quality = jnp.where(results.success, results.quality, -1.0)
         best = jnp.argmax(quality)
+        r_best = results.R[best]
+        t_best = results.t[best]
+
+        # LM refinement of the winner only (reference: pnp_util.py:66-74).
+        if config.pnp_refine_lm:
+            r_ref, t_ref = pnp_mod.refine_pose_lm(
+                r_best, t_best,
+                cors.coord_2d[best].astype(jnp.float32),
+                cors.coord_3d[best].astype(jnp.float32),
+                results.inliers[best], cam_f, cam_c, iters=config.lm_iters,
+            )
+            ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
+            r_best = jnp.where(ok, r_ref, r_best)
+            t_best = jnp.where(ok, t_ref, t_best)
+
+        # Optional featuremetric refinement against the winning template's
+        # bank (present on every pipeline variant).
+        if config.refine_featuremetric:
+            from foundpose_tpu.pose.featuremetric import refine_pose_featuremetric
+
+            fmap_proj = fmap
+            if multi_repre.raw_projector is not None:
+                fmap_proj = pca_transform(proj, fmap)
+            best_tid = template_ids[best]
+            r_best, t_best, _ = refine_pose_featuremetric(
+                r_best, t_best, fmap_proj.astype(cdt), cam_f, cam_c,
+                bank_vertices[best_tid], bank_feats[best_tid].astype(cdt),
+                bank_mask[best_tid],
+                crop_size=config.crop_size,
+                iters=config.featuremetric_iters,
+            )
+
         num_grid = points.shape[0]
         score = estimate_score(
-            results.R[best], results.t[best], cors.coord_2d[best],
+            r_best, t_best, cors.coord_2d[best],
             cors.coord_2d_ids[best], cors.coord_3d[best], cors.valid[best],
             cam_f, cam_c, num_query_points=num_grid,
             inlier_radius=config.pnp_inlier_thresh,
         )
         return (
-            results.success[best], results.R[best], results.t[best],
+            results.success[best], r_best, t_best,
             quality[best], score, template_ids, template_scores,
             template_ids[best], results.quality, jnp.sum(validf),
             cors.coord_2d[best], cors.coord_2d_ids[best], cors.coord_3d[best],
             cors.coord_conf[best], cors.valid[best],
         )
 
-    keys = jax.random.split(key, b)
+    # Same key derivation as inference.pose_from_features: crop i's
+    # subsample key is keys[i], its PnP key keys[b + i] — the pipeline
+    # variants draw identical hypotheses on identical inputs.
+    keys = jax.random.split(key, 2 * b)
+    sub_keys, crop_keys = keys[:b], keys[b:]
     (success, r_m2c, t_m2c, quality, score, template_ids, template_scores,
      best_template, per_tpl_quality, num_queries,
      best_c2d, best_c2d_ids, best_c3d, best_conf, best_cvalid) = jax.vmap(per_crop)(
-        feature_maps, masks, cameras.f, cameras.c, obj_idx, keys
+        feature_maps, masks, cameras.f, cameras.c, obj_idx, sub_keys, crop_keys
     )
 
     m2c = geometry.as_4x4_rt(r_m2c, t_m2c)

@@ -31,7 +31,12 @@ _LIB_PATHS = [
 def _build_native() -> None:
     """Best-effort one-shot `make -C native` (the library is 22x faster than
     the numpy fallback — 87 vs 1932 ms per 1680x1680 template render — so a
-    silent fallback would quietly dominate gen_templates wall time)."""
+    silent fallback would quietly dominate gen_templates wall time).
+
+    Serialized across processes with an flock'd lock file so concurrent
+    first renders (pytest workers, multi-process pipelines) don't race the
+    same build directory; whoever loses the race finds the .so already
+    built and make is a no-op."""
     import subprocess
 
     native_dir = os.path.abspath(
@@ -40,12 +45,16 @@ def _build_native() -> None:
     if not os.path.exists(os.path.join(native_dir, "Makefile")):
         return
     try:
-        subprocess.run(
-            ["make", "-C", native_dir],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        import fcntl
+
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-C", native_dir],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
     except Exception:
         pass  # no compiler / read-only checkout: numpy fallback stays
 
@@ -77,7 +86,21 @@ def _load_native(build: bool = True):
     return None
 
 
-_NATIVE = _load_native()
+# Loaded (and if necessary built) lazily on the first rasterize() call, NOT
+# at import time: unrelated importers must not pay the build latency, and
+# laziness plus the flock in _build_native keeps concurrent importers safe.
+# `None` after a load attempt means "use the numpy fallback" (tests set this
+# directly to force the fallback path).
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _get_native():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE is None and not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        _NATIVE = _load_native()
+    return _NATIVE
 
 
 def _fptr(a):
@@ -103,7 +126,8 @@ def rasterize(
     depth_buf = np.zeros((height, width), dtype=np.float32)
     mask_buf = np.zeros((height, width), dtype=np.uint8)
 
-    if _NATIVE is not None:
+    native = _get_native()
+    if native is not None:
         colors_p = (
             _fptr(np.ascontiguousarray(colors, dtype=np.float32))
             if colors is not None
@@ -114,7 +138,7 @@ def rasterize(
             if normals_cam is not None
             else ctypes.POINTER(ctypes.c_float)()
         )
-        _NATIVE.rasterize_mesh(
+        native.rasterize_mesh(
             _fptr(vertices_cam), len(vertices_cam),
             faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces),
             colors_p, normals_p,

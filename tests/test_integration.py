@@ -11,7 +11,6 @@ import pytest
 from PIL import Image
 
 from foundpose_tpu.data.ply import Mesh, save_ply
-from foundpose_tpu.models import dinov2
 from foundpose_tpu.pipeline import gen_repre as gen_repre_mod
 from foundpose_tpu.pipeline import gen_templates as gen_templates_mod
 from foundpose_tpu.pipeline import infer as infer_mod
@@ -170,6 +169,10 @@ def test_full_framework_end_to_end(tmp_path):
     img = np.asarray(Image.open(metadata[0]["rgb_image_path"]))
     assert img.shape[:2] == (140, 140)
 
+    # Shrink the ViT for test speed via the opts-level injection seam
+    # (vit_overrides; no module-global monkey-patching).
+    VIT_OVERRIDES = {"embed_dim": 32, "depth": 2, "num_heads": 2, "pos_grid": 10}
+
     # 2. gen_repre with a tiny random ViT (deterministic features).
     repre_opts = gen_repre_mod.GenRepreOpts(
         object_dataset="demo",
@@ -179,32 +182,18 @@ def test_full_framework_end_to_end(tmp_path):
         pca_components=16,
         cluster_num=64,
         batch_size=8,
+        vit_overrides=VIT_OVERRIDES,
         templates_dir=str(tmp_path / "templates"),
         output_dir=str(tmp_path / "repre"),
         overwrite=True,
     )
-    # Shrink the ViT for test speed: patch the variant table entry.
-    import jax
-
-    small_cfg = dataclasses.replace(
-        dinov2.parse_model_name(TINY_EXTRACTOR),
-        embed_dim=32, depth=2, num_heads=2, pos_grid=10,
-    )
-    vit_params = dinov2.init_params(jax.random.PRNGKey(0), small_cfg)
-
-    import foundpose_tpu.pipeline.gen_repre as gr
-
-    orig_parse = gr.dinov2.parse_model_name
-    gr.dinov2.parse_model_name = lambda name: small_cfg
-    try:
-        gr.generate_repre_from_list(repre_opts)
-    finally:
-        gr.dinov2.parse_model_name = orig_parse
+    gen_repre_mod.generate_repre_from_list(repre_opts)
 
     repre_dir = tmp_path / "repre" / "demo" / "v1" / str(OBJ_ID)
     assert (repre_dir / "repre.npz").exists()
 
-    # 3. infer.
+    # 3. infer. The test image is 228px; dataset_crop_size caps the
+    # center-crop below the 630x476 default.
     infer_opts = infer_mod.InferOpts(
         object_dataset="demo",
         object_lids=[OBJ_ID],
@@ -216,6 +205,8 @@ def test_full_framework_end_to_end(tmp_path):
         batch_size=2,
         vis_results=True,
         vis_count=2,
+        vit_overrides=VIT_OVERRIDES,
+        dataset_crop_size=(224, 224),
         bop_root=bop_root,
         repre_dir=str(tmp_path / "repre"),
         detections_path=det_path,
@@ -223,16 +214,7 @@ def test_full_framework_end_to_end(tmp_path):
     )
     import foundpose_tpu.pipeline.infer as inf
 
-    orig_parse2 = inf.dinov2.parse_model_name
-    inf.dinov2.parse_model_name = lambda name: small_cfg
-    # The test image is 228px; prepare_sample center-crops to <= default.
-    orig_crops = inf.bop.DEFAULT_CROP_SIZES.copy()
-    inf.bop.DEFAULT_CROP_SIZES["demo"] = (224, 224)
-    try:
-        inf.infer(infer_opts)
-    finally:
-        inf.dinov2.parse_model_name = orig_parse2
-        inf.bop.DEFAULT_CROP_SIZES = orig_crops.copy()
+    inf.infer(infer_opts)
 
     results_path = tmp_path / "inference" / "demo" / "v1" / str(OBJ_ID) / "estimated-poses.json"
     assert results_path.exists()
@@ -268,13 +250,7 @@ def test_full_framework_end_to_end(tmp_path):
     mo_opts = dataclasses.replace(
         infer_opts, multi_object=True, output_dir=str(tmp_path / "inference_mo")
     )
-    inf.dinov2.parse_model_name = lambda name: small_cfg
-    inf.bop.DEFAULT_CROP_SIZES["demo"] = (224, 224)
-    try:
-        inf.infer_multi_object(mo_opts)
-    finally:
-        inf.dinov2.parse_model_name = orig_parse2
-        inf.bop.DEFAULT_CROP_SIZES = orig_crops.copy()
+    inf.infer_multi_object(mo_opts)
     mo_results = json.loads(
         (tmp_path / "inference_mo" / "demo" / "v1" / str(OBJ_ID) /
          "estimated-poses.json").read_text()
@@ -285,6 +261,14 @@ def test_full_framework_end_to_end(tmp_path):
         np.arccos(np.clip((np.trace(r_mo @ r_gt.T) - 1) / 2, -1, 1))
     )
     assert rot_err_mo < 15.0, rot_err_mo
+    # Multi-object path records the retrieved-template orientation
+    # accumulator and writes visualizations + gallery, exactly like the
+    # single-object path (reference: utils/eval_util.py:175-188,
+    # scripts/infer.py:746-802).
+    assert "template_ori_err_deg" in mo_results[0]
+    mo_dir = tmp_path / "inference_mo" / "demo" / "v1" / str(OBJ_ID)
+    assert any((mo_dir / "vis").glob("*.png"))
+    assert (mo_dir / "report.html").exists()
 
     # 3c. Fast-path CLI configuration: bf16 compute + bf16 banks at rest +
     # approximate top-k + fused ViT block + tanh GELU, end-to-end through the
@@ -300,14 +284,8 @@ def test_full_framework_end_to_end(tmp_path):
     )
     from jax.experimental.pallas import tpu as pltpu
 
-    inf.dinov2.parse_model_name = lambda name: small_cfg
-    inf.bop.DEFAULT_CROP_SIZES["demo"] = (224, 224)
-    try:
-        with pltpu.force_tpu_interpret_mode():
-            inf.infer(fast_opts)
-    finally:
-        inf.dinov2.parse_model_name = orig_parse2
-        inf.bop.DEFAULT_CROP_SIZES = orig_crops.copy()
+    with pltpu.force_tpu_interpret_mode():
+        inf.infer(fast_opts)
     fast_results = json.loads(
         (tmp_path / "inference_fast" / "demo" / "v1" / str(OBJ_ID) /
          "estimated-poses.json").read_text()

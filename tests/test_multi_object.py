@@ -49,3 +49,49 @@ def test_multi_object_batch_matches_single(rng):
     np.testing.assert_allclose(np.asarray(out.t_m2c[1]), t_b, atol=0.02)
     # Padded templates of object B are never retrieved.
     assert np.asarray(out.template_ids[1]).max() < 6
+
+
+def test_multi_object_is_exact_generalization_of_single(rng):
+    """With one stacked object and the same key, pose_from_features_multi must
+    reproduce inference.pose_from_features to numerical precision: the solve
+    policy (winner-only LM), query subsampling, and PRNG key derivation are
+    unified across all pipeline variants, so identical inputs draw identical
+    RANSAC hypotheses and refine identically."""
+    repre, pts, feats, tpl_ids = make_synthetic_world(rng)
+    multi = stack_repres([repre])
+
+    fmaps, masks, cams = [], [], []
+    for tgt in (2, 5):
+        fmap, mask, cam, _, _ = render_synthetic_query(
+            rng, pts, feats, tpl_ids, tgt
+        )
+        fmaps.append(fmap)
+        masks.append(mask)
+        cams.append(cam)
+    cameras = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+    fmaps = jnp.asarray(np.stack(fmaps))
+    masks = jnp.asarray(np.stack(masks))
+    config = inference.InferenceConfig(
+        top_n_templates=3, top_k_buddies=60, pnp_ransac_iter=200
+    )
+
+    ref = inference.pose_from_features(
+        fmaps, masks, cameras, repre, jax.random.PRNGKey(0), config
+    )
+    out = pose_from_features_multi(
+        fmaps, masks, cameras, jnp.zeros((2,), jnp.int32), multi,
+        jax.random.PRNGKey(0), config,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.template_ids), np.asarray(ref.template_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.best_template), np.asarray(ref.best_template)
+    )
+    np.testing.assert_array_equal(np.asarray(out.quality), np.asarray(ref.quality))
+    np.testing.assert_allclose(
+        np.asarray(out.R_m2c), np.asarray(ref.R_m2c), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.t_m2c), np.asarray(ref.t_m2c), atol=1e-4
+    )

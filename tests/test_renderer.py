@@ -63,7 +63,7 @@ def test_rasterize_zbuffer_occlusion():
 
 
 def test_native_matches_numpy_fallback(rng):
-    if rast._NATIVE is None:
+    if rast._get_native() is None:
         pytest.skip("native rasterizer not built")
     # Random blob of triangles in front of the camera.
     v = rng.uniform(-30, 30, size=(30, 3)).astype(np.float32)
@@ -118,9 +118,11 @@ def test_ply_roundtrip(tmp_path, rng):
 
 
 def test_native_rasterizer_autobuilds(tmp_path):
-    """The ctypes loader must build librasterizer.so itself when a compiler
-    exists — a silent numpy fallback costs 22x per SSAA template render and
-    once burned a full builder run (1932 vs 87 ms per 1680^2 frame)."""
+    """The ctypes loader must build librasterizer.so itself on first use when
+    a compiler exists — a silent numpy fallback costs 22x per SSAA template
+    render and once burned a full builder run (1932 vs 87 ms per 1680^2
+    frame). The build is lazy (first _get_native call, not import) and
+    flock-serialized against concurrent processes."""
     import shutil
     import subprocess
     import sys
@@ -129,14 +131,15 @@ def test_native_rasterizer_autobuilds(tmp_path):
         import pytest
 
         pytest.skip("no compiler on this host")
-    # Run in a subprocess so we exercise the cold-import path with the
-    # library removed, without disturbing this process's loaded handle.
+    # Run in a subprocess so we exercise the cold path with the library
+    # removed, without disturbing this process's loaded handle.
     code = (
         "import os, sys; sys.path.insert(0, %r)\n"
         "so = os.path.join(%r, 'native', 'librasterizer.so')\n"
         "if os.path.exists(so): os.remove(so)\n"
         "from foundpose_tpu.renderer import rasterizer as rz\n"
-        "assert rz._NATIVE is not None, 'auto-build failed'\n"
+        "assert rz._NATIVE is None, 'import must not eagerly build'\n"
+        "assert rz._get_native() is not None, 'auto-build failed'\n"
         "print('native ok')\n"
     ) % (_REPO, _REPO)
     out = subprocess.run(

@@ -186,6 +186,66 @@ def test_full_sharded_step_smoke(rng):
     assert np.isfinite(np.asarray(out.t_m2w)).all()
 
 
+def test_sharded_step_matches_single_device_image_level(rng):
+    """Three-way unification check at the IMAGE level, through the REAL
+    steps: make_sharded_step must agree with the single-device
+    jit_pose_from_crops on identical crops + key. The solve policy
+    (winner-only LM), query subsampling, and PRNG key derivation are unified
+    across pipeline variants, so the only remaining difference is f32
+    reduction order (per-shard ViT batches + psum bank fetch)."""
+    m = mesh_mod.make_mesh(shape=(4, 2))
+    cfg = dinov2.DinoV2Config(
+        variant="vits14", embed_dim=32, depth=2, num_heads=2, mlp_ratio=4.0,
+        swiglu=False, patch_size=14, num_register_tokens=4, pos_grid=6,
+        stride=14, facet="token", layer=1, apply_norm=True,
+    )
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    repre, *_ = make_synthetic_world(rng, feat_dim=32)
+    sharded_repre = mesh_mod.shard_repre(repre, m)
+
+    b, hw = 8, 84
+    crops_np = rng.uniform(size=(b, hw, hw, 3)).astype(np.float32)
+    masks_np = np.ones((b, hw, hw), np.float32)
+    cameras = PinholeCamera(
+        f=jnp.tile(jnp.asarray([[100.0, 100.0]]), (b, 1)),
+        c=jnp.tile(jnp.asarray([[41.5, 41.5]]), (b, 1)),
+        T_world_from_eye=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        width=hw, height=hw,
+    )
+    config = inference.InferenceConfig(
+        crop_size=(hw, hw), grid_cell_size=14.0, top_n_templates=2,
+        top_k_buddies=16, pnp_ransac_iter=50,
+    )
+
+    single = inference.jit_pose_from_crops(cfg, config)
+    ref = single(
+        params, jnp.asarray(crops_np), jnp.asarray(masks_np), cameras, repre,
+        jax.random.PRNGKey(1),
+    )
+
+    step = make_sharded_step(m, cfg, config, sharded_repre)
+    crops = jax.device_put(jnp.asarray(crops_np), mesh_mod.crop_sharding(m))
+    masks = jax.device_put(jnp.asarray(masks_np), mesh_mod.crop_sharding(m))
+    out = step(params, crops, masks, cameras, jax.random.PRNGKey(1))
+
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(out.template_ids), axis=1),
+        np.sort(np.asarray(ref.template_ids), axis=1),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.best_template), np.asarray(ref.best_template)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.quality), np.asarray(ref.quality), atol=1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.R_m2c), np.asarray(ref.R_m2c), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.t_m2c), np.asarray(ref.t_m2c), rtol=5e-3, atol=5e-3
+    )
+
+
 def test_sharded_step_hlo_has_expected_collectives(rng):
     """The compiled multi-chip program's communication schedule is asserted,
     not assumed: the bank-sharded retrieval must lower to cross-bank

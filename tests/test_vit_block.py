@@ -97,3 +97,53 @@ def test_fused_block_bf16(rng):
         np.asarray(fused16, dtype=np.float32), np.asarray(ref),
         atol=0.1 * max(scale, 1.0),
     )
+
+
+def test_fused_block_swiglu_parity(rng):
+    """SwiGLU (ViT-G-style) fused blocks == unfused blocks, exercising the
+    w12/w3 MLP branch and the in-kernel token chunking."""
+    cfg = tiny_cfg(swiglu=True)
+    params = dinov2.init_params(jax.random.PRNGKey(5), cfg)
+    imgs = jnp.asarray(rng.uniform(size=(2, 98, 98, 3)).astype(np.float32))
+
+    ref = dinov2.extract_facet(params, cfg, imgs)["feature_maps"]
+    with pltpu.force_tpu_interpret_mode():
+        fused = dinov2.extract_facet(
+            params, dataclasses.replace(cfg, use_fused_block=True), imgs
+        )["feature_maps"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_block_mlp_chunked_parity(rng):
+    """Forcing mlp_chunks > 1 through the kernel must be output-identical to
+    the unchunked kernel (the chunking is a pure tiling of per-token work)."""
+    from foundpose_tpu.ops import vit_block as vb
+
+    cfg = tiny_cfg(depth=1)
+    params = dinov2.init_params(jax.random.PRNGKey(6), cfg)
+    layer = jax.tree.map(lambda a: a[0], params["blocks"])
+
+    t, t_pad, d = 60, 64, cfg.embed_dim
+    x = jnp.asarray(rng.normal(size=(1, t, d)).astype(np.float32))
+    ref = dinov2._block(x, layer, cfg)
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    # Shrink the VMEM budget so choose_mlp_chunks is forced past 1 chunk.
+    est1 = vb.fused_block_vmem_bytes(
+        t_pad, d, int(d * cfg.mlp_ratio), 4, mlp_chunks=1
+    )
+    orig = vb.VMEM_LIMIT_BYTES
+    vb.VMEM_LIMIT_BYTES = est1 - 1
+    try:
+        chunks = vb.choose_mlp_chunks(t_pad, d, int(d * cfg.mlp_ratio), 4, False)
+        assert chunks is not None and chunks > 1
+        with pltpu.force_tpu_interpret_mode():
+            out = vb.fused_vit_block(
+                xp, layer, seq_len=t, num_heads=cfg.num_heads,
+                head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
+            )
+    finally:
+        vb.VMEM_LIMIT_BYTES = orig
+    np.testing.assert_allclose(
+        np.asarray(out[:, :t]), np.asarray(ref), atol=2e-4
+    )
