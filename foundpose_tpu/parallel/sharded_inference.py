@@ -193,6 +193,7 @@ def make_sharded_step(
                     inlier_thresh=config.pnp_inlier_thresh,
                     refine_lm=False,
                     lm_iters=config.lm_iters,
+                    lo_iters=0,
                 )
                 return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
 
@@ -204,6 +205,21 @@ def make_sharded_step(
             best = jnp.argmax(quality)
             r_best = results.R[best]
             t_best = results.t[best]
+            inliers_best = results.inliers[best]
+
+            # LO-RANSAC refit of the winner only (pose/pnp.lo_refine; same
+            # winner-only policy as LM, matching pipeline/inference.py).
+            if config.pnp_lo_iters > 0:
+                r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
+                    r_best, t_best,
+                    c2d[best].astype(jnp.float32),
+                    c3d[best].astype(jnp.float32),
+                    cvalid[best], kf, kc,
+                    inlier_thresh=config.pnp_inlier_thresh,
+                    iters=config.pnp_lo_iters,
+                    inliers=inliers_best,
+                    count=results.quality[best],
+                )
 
             # LM refinement of the winner only (reference: pnp_util.py:66-74).
             if config.pnp_refine_lm:
@@ -211,7 +227,7 @@ def make_sharded_step(
                     r_best, t_best,
                     c2d[best].astype(jnp.float32),
                     c3d[best].astype(jnp.float32),
-                    results.inliers[best], kf, kc, iters=config.lm_iters,
+                    inliers_best, kf, kc, iters=config.lm_iters,
                 )
                 ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
                 r_best = jnp.where(ok, r_ref, r_best)
@@ -381,6 +397,7 @@ def make_sharded_step_multi(
                     inlier_thresh=config.pnp_inlier_thresh,
                     refine_lm=False,
                     lm_iters=config.lm_iters,
+                    lo_iters=0,
                 )
                 return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
 
@@ -392,6 +409,21 @@ def make_sharded_step_multi(
             best = jnp.argmax(quality)
             r_best = results.R[best]
             t_best = results.t[best]
+            inliers_best = results.inliers[best]
+
+            # LO-RANSAC refit of the winner only (pose/pnp.lo_refine; same
+            # winner-only policy as LM, matching pipeline/inference.py).
+            if config.pnp_lo_iters > 0:
+                r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
+                    r_best, t_best,
+                    c2d[best].astype(jnp.float32),
+                    c3d[best].astype(jnp.float32),
+                    cvalid[best], kf, kc,
+                    inlier_thresh=config.pnp_inlier_thresh,
+                    iters=config.pnp_lo_iters,
+                    inliers=inliers_best,
+                    count=results.quality[best],
+                )
 
             # LM refinement of the winner only (reference: pnp_util.py:66-74).
             if config.pnp_refine_lm:
@@ -399,7 +431,7 @@ def make_sharded_step_multi(
                     r_best, t_best,
                     c2d[best].astype(jnp.float32),
                     c3d[best].astype(jnp.float32),
-                    results.inliers[best], kf, kc, iters=config.lm_iters,
+                    inliers_best, kf, kc, iters=config.lm_iters,
                 )
                 ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
                 r_best = jnp.where(ok, r_ref, r_best)

@@ -54,6 +54,11 @@ class InferenceConfig:
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
     lm_iters: int = 10
+    # LO-RANSAC rounds on the winning template's pose (pose/pnp.lo_refine):
+    # closes the measured quality gap vs cv2's internally-polished minimal
+    # solver (benchmarks/cross_parity.py) at the cost of two overdetermined
+    # DLT solves per crop.
+    pnp_lo_iters: int = 2
     # Featuremetric refinement (paper stage; not in the reference OSS release).
     refine_featuremetric: bool = False
     featuremetric_iters: int = 8
@@ -245,6 +250,7 @@ def solve_batch(
                 inlier_thresh=config.pnp_inlier_thresh,
                 refine_lm=False,
                 lm_iters=config.lm_iters,
+                lo_iters=0,
             )
         )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
 
@@ -253,6 +259,26 @@ def solve_batch(
         best = jnp.argmax(quality)
         r_best = results.R[best]
         t_best = results.t[best]
+        inliers_best = results.inliers[best]
+
+        # LO-RANSAC refit of the winner only: template selection without LO
+        # agrees 1.0 with the reference replica (benchmarks/cross_parity.py),
+        # so — like LM below — local optimization runs once, not top_n times
+        # (running it per-template measured 6.3% end-to-end).
+        if config.pnp_lo_iters > 0:
+            r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
+                r_best,
+                t_best,
+                cors.coord_2d[best].astype(jnp.float32),
+                cors.coord_3d[best].astype(jnp.float32),
+                cors.valid[best],
+                cam_f,
+                cam_c,
+                inlier_thresh=config.pnp_inlier_thresh,
+                iters=config.pnp_lo_iters,
+                inliers=inliers_best,
+                count=results.quality[best],
+            )
 
         # LM refinement of the winner only (reference: pnp_util.py:66-74).
         if config.pnp_refine_lm:
@@ -261,7 +287,7 @@ def solve_batch(
                 t_best,
                 cors.coord_2d[best].astype(jnp.float32),
                 cors.coord_3d[best].astype(jnp.float32),
-                results.inliers[best],
+                inliers_best,
                 cam_f,
                 cam_c,
                 iters=config.lm_iters,

@@ -103,12 +103,28 @@ def pose_from_features_multi(
                 inlier_thresh=config.pnp_inlier_thresh,
                 refine_lm=False,
                 lm_iters=config.lm_iters,
+                lo_iters=0,
             )
         )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
         quality = jnp.where(results.success, results.quality, -1.0)
         best = jnp.argmax(quality)
         r_best = results.R[best]
         t_best = results.t[best]
+        inliers_best = results.inliers[best]
+
+        # LO-RANSAC refit of the winner only (pose/pnp.lo_refine; same
+        # winner-only policy as LM, matching inference.solve_batch).
+        if config.pnp_lo_iters > 0:
+            r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
+                r_best, t_best,
+                cors.coord_2d[best].astype(jnp.float32),
+                cors.coord_3d[best].astype(jnp.float32),
+                cors.valid[best], cam_f, cam_c,
+                inlier_thresh=config.pnp_inlier_thresh,
+                iters=config.pnp_lo_iters,
+                inliers=inliers_best,
+                count=results.quality[best],
+            )
 
         # LM refinement of the winner only (reference: pnp_util.py:66-74).
         if config.pnp_refine_lm:
@@ -116,7 +132,7 @@ def pose_from_features_multi(
                 r_best, t_best,
                 cors.coord_2d[best].astype(jnp.float32),
                 cors.coord_3d[best].astype(jnp.float32),
-                results.inliers[best], cam_f, cam_c, iters=config.lm_iters,
+                inliers_best, cam_f, cam_c, iters=config.lm_iters,
             )
             ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
             r_best = jnp.where(ok, r_ref, r_best)
