@@ -84,6 +84,11 @@ class DinoV2Config:
     # floor only prevents 0/0. The bench enables it; parity-tested
     # against the unfused path.
     softmax_stabilizer: str = "column"
+    # Images per fused-block kernel invocation (grid = B/g): per-token
+    # matmuls run on [g*T_pad, D] matrices. Applied only when the batch is
+    # divisible by g and the enlarged dynamic footprint still fits VMEM;
+    # falls back to 1 otherwise.
+    fused_images_per_step: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -410,8 +415,17 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
         # ~11% less work in every per-token op of the block.
         t_pad = -(-t // 16) * 16
         esize = jnp.dtype(x.dtype).itemsize
+        # Multi-image grid steps only when the batch divides and the
+        # g-scaled dynamic footprint still fits; drop to g=1 otherwise.
+        g = cfg.fused_images_per_step
+        if b % g != 0 or choose_mlp_chunks(
+            t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu, images_per_step=g
+        ) is None:
+            g = 1
         use_fused = (
-            choose_mlp_chunks(t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu)
+            choose_mlp_chunks(
+                t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu, images_per_step=g
+            )
             is not None
         )
     if use_fused:
@@ -426,6 +440,7 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
                     head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
                     approx_gelu=cfg.approx_gelu,
                     softmax_stabilizer=cfg.softmax_stabilizer,
+                    images_per_step=g,
                 ),
                 None,
             )

@@ -54,6 +54,7 @@ def fused_block_vmem_bytes(
     itemsize: int,
     swiglu: bool = False,
     mlp_chunks: int = 1,
+    images_per_step: int = 1,
 ) -> int:
     """Margined scoped-VMEM request for ONE fused-block invocation.
 
@@ -78,14 +79,15 @@ def fused_block_vmem_bytes(
     (weights 56.6 MB; a flat 1.5x would misreport it as not fitting).
     """
     d, hidden = embed_dim, mlp_hidden
-    chunk = t_pad // mlp_chunks
+    rows = images_per_step * t_pad
+    chunk = rows // mlp_chunks
     mlp_weights = (3 if swiglu else 2) * d * hidden
     # Hidden activations live per chunk: fc1/w12 output (2h for SwiGLU's
     # gate+value, h otherwise) + the activated h.
     mlp_act = chunk * ((3 if swiglu else 2) * hidden)
     weights = itemsize * (4 * d * d + mlp_weights)  # qkv/proj/mlp weights
     dynamic = (
-        itemsize * t_pad * 5 * d               # x, qkv(3d), attn(d)
+        itemsize * rows * 5 * d                # x, qkv(3d), attn(d)
         + itemsize * mlp_act
         + 4 * t_pad * t_pad                    # one head's f32 logits
     )
@@ -93,7 +95,8 @@ def fused_block_vmem_bytes(
 
 
 def choose_mlp_chunks(
-    t_pad: int, embed_dim: int, mlp_hidden: int, itemsize: int, swiglu: bool
+    t_pad: int, embed_dim: int, mlp_hidden: int, itemsize: int, swiglu: bool,
+    images_per_step: int = 1,
 ):
     """Smallest MLP token-chunk count whose margined footprint fits the VMEM
     budget.
@@ -108,7 +111,8 @@ def choose_mlp_chunks(
     ]
     for c in candidates:
         est = fused_block_vmem_bytes(
-            t_pad, embed_dim, mlp_hidden, itemsize, swiglu=swiglu, mlp_chunks=c
+            t_pad, embed_dim, mlp_hidden, itemsize, swiglu=swiglu,
+            mlp_chunks=c, images_per_step=images_per_step,
         )
         if est < VMEM_LIMIT_BYTES:
             return c
@@ -129,9 +133,16 @@ def _block_kernel(
     softmax_stabilizer: str,
     swiglu: bool = False,
     mlp_chunks: int = 1,
+    images_per_step: int = 1,
 ):
-    x = x_ref[0]  # [T_pad, D]
-    d = x.shape[-1]
+    g = images_per_step
+    t_pad = x_ref.shape[1]
+    d = x_ref.shape[-1]
+    # Per-token sublayers (LN, qkv, proj, MLP) treat the g images of this
+    # grid step as ONE [g*T_pad, D] token matrix — larger matmul M amortizes
+    # MXU streaming and halves the grid-step count; only the attention
+    # matrices are inherently per-image.
+    x = x_ref[...].reshape(g * t_pad, d)
     # exp -> exp2 conversion folded into the attention scale, and the scale
     # folded into q itself: one [T, D] multiply replaces a per-head
     # [T, T] logits multiply and the multiply inside every exp lowering.
@@ -142,11 +153,10 @@ def _block_kernel(
     qkv = (
         jax.lax.dot(xn, qkvw_ref[...], preferred_element_type=jnp.float32)
         + qkvb_ref[...].astype(jnp.float32)
-    )  # [T_pad, 3D] f32
+    )  # [g*T_pad, 3D] f32
     q_all = (qkv[:, :d] * scale).astype(x.dtype)
     kv = qkv[:, d:].astype(x.dtype)
 
-    t_pad = x.shape[0]
     # Padded-key mask as an additive [T_pad, 1] bias column, computed once
     # per kernel (not iota+compare+select per head): exp2(-inf - m) == 0, so
     # padded keys drop out of both the matmul and the normalizer.
@@ -155,43 +165,64 @@ def _block_kernel(
         key_ids = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
         kmask = jnp.where(key_ids < seq_len, 0.0, -jnp.inf).astype(jnp.float32)
 
-    head_outs = []
-    for h in range(num_heads):
-        q = q_all[:, h * head_dim : (h + 1) * head_dim]
-        k = kv[:, h * head_dim : (h + 1) * head_dim]
-        v = kv[:, d + h * head_dim : d + (h + 1) * head_dim]
-        # Transposed logits: softmax over keys reduces along sublanes.
-        logits_t = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [T_pad(keys), T_pad(queries)], pre-scaled via q
-        if kmask is not None:
-            logits_t = logits_t + kmask
-        if softmax_stabilizer == "capped":
-            # No max reduction (the 6 per-head max passes cost 0.73 ms/layer
-            # at batch 64 — 28% of the whole block): p is capped against f32
-            # overflow and the sum floored against 0/0 on all-underflow
-            # columns. Numerically equivalent to the stabilized softmax
-            # within f32 rounding while logits < ~99 (exp2(l) vs exp2(l-m)
-            # round differently; parity holds at atol 2e-5 — DINOv2's run
-            # within +-30); beyond that it degrades to uniform over capped
-            # entries, and an all-underflow column yields ZERO output
-            # rather than the uniform average true softmax would give.
-            p = jnp.minimum(jnp.exp2(logits_t), 1e30)
-            s = jnp.maximum(
-                jnp.sum(p, axis=0, keepdims=True), 1e-30
-            )  # [1, T_pad(queries)] f32
-        else:
-            m = jnp.max(logits_t, axis=0, keepdims=True)
-            p = jnp.exp2(logits_t - m)
-            s = jnp.sum(p, axis=0, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T_pad(queries), head_dim] f32, un-normalized
-        # Late normalization: one [T, head_dim] multiply by the reciprocal
-        # row-sum instead of a [T, T] divide on the weights.
-        head_outs.append((o * (1.0 / s).reshape(t_pad, 1)).astype(x.dtype))
-    attn = jnp.concatenate(head_outs, axis=-1)  # [T_pad, D]
+    # Ones column appended to each head's v: the softmax normalizer (the
+    # column sum of p) rides the SAME MXU matmul as the attention output —
+    # the head_dim-64 output occupies half the 128-lane tile anyway, so slot
+    # 64 is free — deleting a [T, T] VPU sum reduction per head (the same
+    # class of reduction whose removal as the max pass bought 0.73 ms/layer).
+    ones_col = jnp.ones((t_pad, 1), kv.dtype)
+    img_outs = []
+    for im in range(g):
+        rows = slice(im * t_pad, (im + 1) * t_pad)
+        head_outs = []
+        for h in range(num_heads):
+            q = q_all[rows, h * head_dim : (h + 1) * head_dim]
+            k = kv[rows, h * head_dim : (h + 1) * head_dim]
+            v = kv[rows, d + h * head_dim : d + (h + 1) * head_dim]
+            # Transposed logits: softmax over keys reduces along sublanes.
+            logits_t = jax.lax.dot_general(
+                k, q, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T_pad(keys), T_pad(queries)], pre-scaled via q
+            if kmask is not None:
+                logits_t = logits_t + kmask
+            if softmax_stabilizer == "capped":
+                # No max reduction (the 6 per-head max passes cost 0.73
+                # ms/layer at batch 64 — 28% of the whole block): p is capped
+                # against f32 overflow and the sum floored against 0/0 on
+                # all-underflow columns. Numerically equivalent to the
+                # stabilized softmax within f32 rounding while logits < ~99
+                # (exp2(l) vs exp2(l-m) round differently; parity holds at
+                # atol 2e-5 — DINOv2's run within +-30); beyond that it
+                # degrades to uniform over capped entries, and an
+                # all-underflow column yields ZERO output rather than the
+                # uniform average true softmax would give.
+                p = jnp.minimum(jnp.exp2(logits_t), 1e30)
+            elif softmax_stabilizer == "linear":
+                # MEASUREMENT ONLY (not a softmax): skips the exp pass to
+                # isolate the VPU transcendental cost in kernel profiling
+                # (docs/KERNELS.md); never used by the pipelines.
+                p = logits_t
+            else:
+                m = jnp.max(logits_t, axis=0, keepdims=True)
+                p = jnp.exp2(logits_t - m)
+            v_aug = jnp.concatenate([v, ones_col], axis=1)  # [T_pad, hd+1]
+            o_aug = jax.lax.dot_general(
+                p.astype(v.dtype), v_aug, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T_pad(queries), hd+1] f32: un-normalized output | row sums
+            # Late normalization: one [T, head_dim] multiply by the
+            # reciprocal row-sum instead of a [T, T] divide on the weights.
+            # The sum floor only guards 0/0 on fully-underflowed columns
+            # (capped path).
+            s = jnp.maximum(o_aug[:, head_dim:], 1e-30)
+            head_outs.append(
+                (o_aug[:, :head_dim] * (1.0 / s)).astype(x.dtype)
+            )
+        img_outs.append(jnp.concatenate(head_outs, axis=-1))  # [T_pad, D]
+    attn = (
+        jnp.concatenate(img_outs, axis=0) if g > 1 else img_outs[0]
+    )  # [g*T_pad, D]
     y = (
         jax.lax.dot(attn, projw_ref[...], preferred_element_type=jnp.float32)
         + projb_ref[...].astype(jnp.float32)
@@ -206,7 +237,7 @@ def _block_kernel(
     # For SwiGLU models the fc1/fc2 ref slots hold w12 [D, 2H] / w3 [H, D].
     xn2 = _ln(x, n2s_ref[...], n2b_ref[...], eps)
     hidden = fc2w_ref.shape[0]
-    chunk = t_pad // mlp_chunks
+    chunk = (g * t_pad) // mlp_chunks
     y2_chunks = []
     for ci in range(mlp_chunks):
         xc = xn2[ci * chunk : (ci + 1) * chunk]
@@ -229,13 +260,14 @@ def _block_kernel(
             ).astype(x.dtype)
         )
     y2 = jnp.concatenate(y2_chunks, axis=0) if mlp_chunks > 1 else y2_chunks[0]
-    o_ref[0] = x + ls2_ref[...].astype(x.dtype) * y2
+    out = x + ls2_ref[...].astype(x.dtype) * y2
+    o_ref[...] = out.reshape(g, t_pad, d)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("seq_len", "num_heads", "head_dim", "eps", "approx_gelu",
-                     "softmax_stabilizer", "interpret"),
+                     "softmax_stabilizer", "images_per_step", "interpret"),
 )
 def fused_vit_block(
     x: Array,
@@ -246,13 +278,22 @@ def fused_vit_block(
     eps: float = 1e-6,
     approx_gelu: bool = False,
     softmax_stabilizer: str = "column",
+    images_per_step: int = 1,
     interpret: bool = False,
 ) -> Array:
     """One transformer block over [B, T_pad, D] tokens (T_pad a multiple of
     the 16-row sublane tile; rows >= seq_len are padding). `p` holds one
     layer's (unstacked) parameters in the models/dinov2.py naming — either
-    the fc1/fc2 GELU MLP or the w12/w3 SwiGLU MLP (ViT-G)."""
+    the fc1/fc2 GELU MLP or the w12/w3 SwiGLU MLP (ViT-G).
+
+    images_per_step: images per kernel invocation (grid = B/g): the
+    per-token matmuls run on [g*T_pad, D] matrices (fewer grid steps,
+    longer MXU streams); attention stays per-image. Requires B % g == 0;
+    dynamic VMEM scales with g (the guard accounts for it)."""
     b, t_pad, d = x.shape
+    g = images_per_step
+    if b % g != 0:
+        raise ValueError(f"batch {b} not divisible by images_per_step={g}")
     swiglu = "w12_kernel" in p
     if swiglu:
         mlp_w1, mlp_b1 = p["w12_kernel"], p["w12_bias"]
@@ -271,15 +312,18 @@ def fused_vit_block(
     # the SAME estimator (fused_block_vmem_bytes via choose_mlp_chunks)
     # against VMEM_LIMIT_BYTES before choosing this path.
     esize = jnp.dtype(x.dtype).itemsize
-    mlp_chunks = choose_mlp_chunks(t_pad, d, hidden, esize, swiglu)
+    mlp_chunks = choose_mlp_chunks(
+        t_pad, d, hidden, esize, swiglu, images_per_step=g
+    )
     if mlp_chunks is None:
         raise ValueError(
             "fused_vit_block does not fit VMEM even with per-16-token MLP "
             "chunking; the caller should have taken the unfused path "
-            f"(t_pad={t_pad}, d={d}, hidden={hidden}, swiglu={swiglu})"
+            f"(t_pad={t_pad}, d={d}, hidden={hidden}, swiglu={swiglu}, g={g})"
         )
     est = fused_block_vmem_bytes(
-        t_pad, d, hidden, esize, swiglu=swiglu, mlp_chunks=mlp_chunks
+        t_pad, d, hidden, esize, swiglu=swiglu, mlp_chunks=mlp_chunks,
+        images_per_step=g,
     )
     vmem_limit = min(VMEM_LIMIT_BYTES, max(est, 16 * 2**20))
 
@@ -291,12 +335,12 @@ def fused_vit_block(
             _block_kernel, seq_len=seq_len, num_heads=num_heads,
             head_dim=head_dim, eps=eps, approx_gelu=approx_gelu,
             softmax_stabilizer=softmax_stabilizer, swiglu=swiglu,
-            mlp_chunks=mlp_chunks,
+            mlp_chunks=mlp_chunks, images_per_step=g,
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, t_pad, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             rep((d,)), rep((d,)),                 # norm1 scale/bias
             rep((d, 3 * d)), rep((3 * d,)),       # qkv
@@ -307,7 +351,7 @@ def fused_vit_block(
             rep((hidden, d)), rep((d,)),          # fc2 | w3
             rep((d,)),                            # ls2
         ],
-        out_specs=pl.BlockSpec((1, t_pad, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, t_pad, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),

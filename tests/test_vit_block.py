@@ -147,3 +147,17 @@ def test_fused_block_mlp_chunked_parity(rng):
     np.testing.assert_allclose(
         np.asarray(out[:, :t]), np.asarray(ref), atol=2e-4
     )
+
+
+def test_fused_block_two_images_per_step(rng):
+    """images_per_step=2 grid layout == per-image layout (pure re-tiling)."""
+    cfg = tiny_cfg(fused_images_per_step=2)
+    params = dinov2.init_params(jax.random.PRNGKey(7), cfg)
+    imgs = jnp.asarray(rng.uniform(size=(4, 98, 98, 3)).astype(np.float32))
+
+    ref = dinov2.extract_facet(params, cfg, imgs)["feature_maps"]
+    with pltpu.force_tpu_interpret_mode():
+        fused = dinov2.extract_facet(
+            params, dataclasses.replace(cfg, use_fused_block=True), imgs
+        )["feature_maps"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
