@@ -533,6 +533,14 @@ def main():
     ap.add_argument("--skip-vit", action="store_true")
     args = ap.parse_args()
 
+    # Parity is a determinism check, not a perf bench: pin the CPU backend
+    # (env JAX_PLATFORMS alone is overridden where a sitecustomize pins a
+    # hardware plugin; same approach as __graft_entry__.dryrun_multichip),
+    # and keep the chip free for concurrent perf runs.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from foundpose_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
