@@ -43,6 +43,7 @@ def main():
         use_fused_block=os.environ.get("VIT_FUSED", "1") == "1",
         softmax_stabilizer=os.environ.get("VIT_STABILIZER", "capped"),
         fused_images_per_step=int(os.environ.get("VIT_IMG_PER_STEP", "1")),
+        fused_paired_heads=os.environ.get("VIT_PAIRED", "0") == "1",
     )
     params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
     batch = int(os.environ.get("BENCH_BATCH", "64"))

@@ -89,6 +89,10 @@ class DinoV2Config:
     # divisible by g and the enlarged dynamic footprint still fits VMEM;
     # falls back to 1 otherwise.
     fused_images_per_step: int = 1
+    # Two heads' attention per matmul pair in the fused block (full
+    # 128-deep MXU contraction for head_dim-64 models; ops/vit_block.py).
+    # Applies when num_heads is even and head_dim <= 64.
+    fused_paired_heads: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -419,12 +423,14 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
         # g-scaled dynamic footprint still fits; drop to g=1 otherwise.
         g = cfg.fused_images_per_step
         if b % g != 0 or choose_mlp_chunks(
-            t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu, images_per_step=g
+            t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu, images_per_step=g,
+            paired_heads=cfg.fused_paired_heads,
         ) is None:
             g = 1
         use_fused = (
             choose_mlp_chunks(
-                t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu, images_per_step=g
+                t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu,
+                images_per_step=g, paired_heads=cfg.fused_paired_heads,
             )
             is not None
         )
@@ -441,6 +447,7 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
                     approx_gelu=cfg.approx_gelu,
                     softmax_stabilizer=cfg.softmax_stabilizer,
                     images_per_step=g,
+                    paired_heads=cfg.fused_paired_heads,
                 ),
                 None,
             )

@@ -55,6 +55,7 @@ def fused_block_vmem_bytes(
     swiglu: bool = False,
     mlp_chunks: int = 1,
     images_per_step: int = 1,
+    paired_heads: bool = False,
 ) -> int:
     """Margined scoped-VMEM request for ONE fused-block invocation.
 
@@ -89,7 +90,8 @@ def fused_block_vmem_bytes(
     dynamic = (
         itemsize * rows * 5 * d                # x, qkv(3d), attn(d)
         + itemsize * mlp_act
-        + 4 * t_pad * t_pad                    # one head's f32 logits
+        # f32 logits scratch: one head's [T, T], or a head pair's [T, 2T].
+        + 4 * t_pad * t_pad * (2 if paired_heads else 1)
     )
     return weights + int(dynamic * 1.5)
 
@@ -97,6 +99,7 @@ def fused_block_vmem_bytes(
 def choose_mlp_chunks(
     t_pad: int, embed_dim: int, mlp_hidden: int, itemsize: int, swiglu: bool,
     images_per_step: int = 1,
+    paired_heads: bool = False,
 ):
     """Smallest MLP token-chunk count whose margined footprint fits the VMEM
     budget.
@@ -113,6 +116,7 @@ def choose_mlp_chunks(
         est = fused_block_vmem_bytes(
             t_pad, embed_dim, mlp_hidden, itemsize, swiglu=swiglu,
             mlp_chunks=c, images_per_step=images_per_step,
+            paired_heads=paired_heads,
         )
         if est < VMEM_LIMIT_BYTES:
             return c
@@ -134,6 +138,7 @@ def _block_kernel(
     swiglu: bool = False,
     mlp_chunks: int = 1,
     images_per_step: int = 1,
+    paired_heads: bool = False,
 ):
     g = images_per_step
     t_pad = x_ref.shape[1]
@@ -165,60 +170,110 @@ def _block_kernel(
         key_ids = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
         kmask = jnp.where(key_ids < seq_len, 0.0, -jnp.inf).astype(jnp.float32)
 
+    def _weights(logits_t):
+        """Un-normalized softmax weights over the key (sublane) axis."""
+        if kmask is not None:
+            logits_t = logits_t + kmask
+        if softmax_stabilizer == "capped":
+            # No max reduction (the 6 per-head max passes cost 0.73
+            # ms/layer at batch 64 — 28% of the whole block): p is capped
+            # against f32 overflow and the sum floored against 0/0 on
+            # all-underflow columns. Numerically equivalent to the
+            # stabilized softmax within f32 rounding while logits < ~99
+            # (exp2(l) vs exp2(l-m) round differently; parity holds at
+            # atol 2e-5 — DINOv2's run within +-30); beyond that it
+            # degrades to uniform over capped entries, and an
+            # all-underflow column yields ZERO output rather than the
+            # uniform average true softmax would give.
+            return jnp.minimum(jnp.exp2(logits_t), 1e30)
+        if softmax_stabilizer == "linear":
+            # MEASUREMENT ONLY (not a softmax): skips the exp pass to
+            # isolate the VPU transcendental cost in kernel profiling
+            # (docs/KERNELS.md); never used by the pipelines.
+            return logits_t
+        m = jnp.max(logits_t, axis=0, keepdims=True)
+        return jnp.exp2(logits_t - m)
+
     # Ones column appended to each head's v: the softmax normalizer (the
     # column sum of p) rides the SAME MXU matmul as the attention output —
     # the head_dim-64 output occupies half the 128-lane tile anyway, so slot
     # 64 is free — deleting a [T, T] VPU sum reduction per head (the same
     # class of reduction whose removal as the max pass bought 0.73 ms/layer).
     ones_col = jnp.ones((t_pad, 1), kv.dtype)
+    hd = head_dim
+    pair = paired_heads and num_heads % 2 == 0 and 2 * hd <= 128
     img_outs = []
     for im in range(g):
         rows = slice(im * t_pad, (im + 1) * t_pad)
         head_outs = []
-        for h in range(num_heads):
-            q = q_all[rows, h * head_dim : (h + 1) * head_dim]
-            k = kv[rows, h * head_dim : (h + 1) * head_dim]
-            v = kv[rows, d + h * head_dim : d + (h + 1) * head_dim]
-            # Transposed logits: softmax over keys reduces along sublanes.
-            logits_t = jax.lax.dot_general(
-                k, q, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [T_pad(keys), T_pad(queries)], pre-scaled via q
-            if kmask is not None:
-                logits_t = logits_t + kmask
-            if softmax_stabilizer == "capped":
-                # No max reduction (the 6 per-head max passes cost 0.73
-                # ms/layer at batch 64 — 28% of the whole block): p is capped
-                # against f32 overflow and the sum floored against 0/0 on
-                # all-underflow columns. Numerically equivalent to the
-                # stabilized softmax within f32 rounding while logits < ~99
-                # (exp2(l) vs exp2(l-m) round differently; parity holds at
-                # atol 2e-5 — DINOv2's run within +-30); beyond that it
-                # degrades to uniform over capped entries, and an
-                # all-underflow column yields ZERO output rather than the
-                # uniform average true softmax would give.
-                p = jnp.minimum(jnp.exp2(logits_t), 1e30)
-            elif softmax_stabilizer == "linear":
-                # MEASUREMENT ONLY (not a softmax): skips the exp pass to
-                # isolate the VPU transcendental cost in kernel profiling
-                # (docs/KERNELS.md); never used by the pipelines.
-                p = logits_t
-            else:
-                m = jnp.max(logits_t, axis=0, keepdims=True)
-                p = jnp.exp2(logits_t - m)
-            v_aug = jnp.concatenate([v, ones_col], axis=1)  # [T_pad, hd+1]
-            o_aug = jax.lax.dot_general(
-                p.astype(v.dtype), v_aug, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [T_pad(queries), hd+1] f32: un-normalized output | row sums
-            # Late normalization: one [T, head_dim] multiply by the
-            # reciprocal row-sum instead of a [T, T] divide on the weights.
-            # The sum floor only guards 0/0 on fully-underflowed columns
-            # (capped path).
-            s = jnp.maximum(o_aug[:, head_dim:], 1e-30)
-            head_outs.append(
-                (o_aug[:, :head_dim] * (1.0 / s)).astype(x.dtype)
-            )
+        if pair:
+            # Head-PAIRED logits: a head_dim-64 contraction streams the
+            # 128-deep MXU at 50% occupancy, but heads are independent, so
+            # two heads' logits ride ONE [T,128]x[128,2T] matmul — k2 holds
+            # both heads' keys side by side (full contraction depth) and q2
+            # is block-diagonal ([[q0,0],[0,q1]]), so the cross-head terms
+            # vanish: columns 0:T are head h0's logits, T:2T head h1's.
+            # Same FLOPs as the two per-head matmuls, twice the MXU rate;
+            # the zero-padding build is a cheap VPU copy.
+            zeros_q = jnp.zeros((t_pad, hd), x.dtype)
+            for hp in range(num_heads // 2):
+                h0 = 2 * hp
+                q0 = q_all[rows, h0 * hd : (h0 + 1) * hd]
+                q1 = q_all[rows, (h0 + 1) * hd : (h0 + 2) * hd]
+                k2 = kv[rows, h0 * hd : (h0 + 2) * hd]          # [T, 2hd]
+                q2 = jnp.concatenate(
+                    [jnp.concatenate([q0, zeros_q], axis=1),
+                     jnp.concatenate([zeros_q, q1], axis=1)], axis=0
+                )                                               # [2T, 2hd]
+                logits2 = jax.lax.dot_general(
+                    k2, q2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T_pad(keys), 2T_pad(h0 queries | h1 queries)]
+                p2 = _weights(logits2)
+                # Both heads' v side by side + the normalizer ones column:
+                # one output matmul serves both heads (rows 0:T use cols
+                # 0:hd with head h0's weights, rows T:2T cols hd:2hd).
+                v2 = jnp.concatenate(
+                    [kv[rows, d + h0 * hd : d + (h0 + 2) * hd], ones_col],
+                    axis=1,
+                )                                               # [T, 2hd+1]
+                o2 = jax.lax.dot_general(
+                    p2.astype(x.dtype), v2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [2T, 2hd+1]: un-normalized outputs | row sums
+                s0 = jnp.maximum(o2[:t_pad, 2 * hd :], 1e-30)
+                s1 = jnp.maximum(o2[t_pad:, 2 * hd :], 1e-30)
+                head_outs.append(
+                    (o2[:t_pad, :hd] * (1.0 / s0)).astype(x.dtype)
+                )
+                head_outs.append(
+                    (o2[t_pad:, hd : 2 * hd] * (1.0 / s1)).astype(x.dtype)
+                )
+        else:
+            for h in range(num_heads):
+                q = q_all[rows, h * hd : (h + 1) * hd]
+                k = kv[rows, h * hd : (h + 1) * hd]
+                v = kv[rows, d + h * hd : d + (h + 1) * hd]
+                # Transposed logits: softmax over keys reduces along
+                # sublanes.
+                logits_t = jax.lax.dot_general(
+                    k, q, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T_pad(keys), T_pad(queries)], pre-scaled via q
+                p = _weights(logits_t)
+                v_aug = jnp.concatenate([v, ones_col], axis=1)  # [T, hd+1]
+                o_aug = jax.lax.dot_general(
+                    p.astype(v.dtype), v_aug, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [T_pad(queries), hd+1] f32: un-normalized out | row sums
+                # Late normalization: one [T, head_dim] multiply by the
+                # reciprocal row-sum instead of a [T, T] divide on the
+                # weights. The sum floor only guards 0/0 on fully-
+                # underflowed columns (capped path).
+                s = jnp.maximum(o_aug[:, hd:], 1e-30)
+                head_outs.append(
+                    (o_aug[:, :hd] * (1.0 / s)).astype(x.dtype)
+                )
         img_outs.append(jnp.concatenate(head_outs, axis=-1))  # [T_pad, D]
     attn = (
         jnp.concatenate(img_outs, axis=0) if g > 1 else img_outs[0]
@@ -267,7 +322,8 @@ def _block_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("seq_len", "num_heads", "head_dim", "eps", "approx_gelu",
-                     "softmax_stabilizer", "images_per_step", "interpret"),
+                     "softmax_stabilizer", "images_per_step", "paired_heads",
+                     "interpret"),
 )
 def fused_vit_block(
     x: Array,
@@ -279,6 +335,7 @@ def fused_vit_block(
     approx_gelu: bool = False,
     softmax_stabilizer: str = "column",
     images_per_step: int = 1,
+    paired_heads: bool = False,
     interpret: bool = False,
 ) -> Array:
     """One transformer block over [B, T_pad, D] tokens (T_pad a multiple of
@@ -289,7 +346,11 @@ def fused_vit_block(
     images_per_step: images per kernel invocation (grid = B/g): the
     per-token matmuls run on [g*T_pad, D] matrices (fewer grid steps,
     longer MXU streams); attention stays per-image. Requires B % g == 0;
-    dynamic VMEM scales with g (the guard accounts for it)."""
+    dynamic VMEM scales with g (the guard accounts for it).
+
+    paired_heads: compute two heads' attention per matmul pair (see the
+    kernel comment); applies when num_heads is even and head_dim <= 64,
+    silently ignored otherwise."""
     b, t_pad, d = x.shape
     g = images_per_step
     if b % g != 0:
@@ -313,7 +374,8 @@ def fused_vit_block(
     # against VMEM_LIMIT_BYTES before choosing this path.
     esize = jnp.dtype(x.dtype).itemsize
     mlp_chunks = choose_mlp_chunks(
-        t_pad, d, hidden, esize, swiglu, images_per_step=g
+        t_pad, d, hidden, esize, swiglu, images_per_step=g,
+        paired_heads=paired_heads,
     )
     if mlp_chunks is None:
         raise ValueError(
@@ -323,7 +385,7 @@ def fused_vit_block(
         )
     est = fused_block_vmem_bytes(
         t_pad, d, hidden, esize, swiglu=swiglu, mlp_chunks=mlp_chunks,
-        images_per_step=g,
+        images_per_step=g, paired_heads=paired_heads,
     )
     vmem_limit = min(VMEM_LIMIT_BYTES, max(est, 16 * 2**20))
 
@@ -336,6 +398,7 @@ def fused_vit_block(
             head_dim=head_dim, eps=eps, approx_gelu=approx_gelu,
             softmax_stabilizer=softmax_stabilizer, swiglu=swiglu,
             mlp_chunks=mlp_chunks, images_per_step=g,
+            paired_heads=paired_heads,
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, d), x.dtype),
         grid=(b // g,),

@@ -161,3 +161,46 @@ def test_fused_block_two_images_per_step(rng):
             params, dataclasses.replace(cfg, use_fused_block=True), imgs
         )["feature_maps"]
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_block_paired_heads_parity(rng):
+    """Head-paired logits/output matmuls == per-head layout (both
+    stabilizers; pure re-tiling of independent heads)."""
+    from foundpose_tpu.ops.vit_block import fused_vit_block
+
+    cfg = tiny_cfg(depth=1)
+    params = dinov2.init_params(jax.random.PRNGKey(2), cfg)
+    layer = jax.tree.map(lambda a: a[0], params["blocks"])
+
+    t, t_pad = 100, 128
+    x = jnp.asarray(rng.normal(size=(2, t, cfg.embed_dim)).astype(np.float32))
+    xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+    for stab in ("column", "capped"):
+        with pltpu.force_tpu_interpret_mode():
+            ref = fused_vit_block(
+                xp, layer, seq_len=t, num_heads=cfg.num_heads,
+                head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
+                softmax_stabilizer=stab,
+            )
+            paired = fused_vit_block(
+                xp, layer, seq_len=t, num_heads=cfg.num_heads,
+                head_dim=cfg.head_dim, eps=cfg.layer_norm_eps,
+                softmax_stabilizer=stab, paired_heads=True,
+            )
+        np.testing.assert_allclose(
+            np.asarray(paired[:, :t]), np.asarray(ref[:, :t]), atol=2e-4
+        )
+
+
+def test_fused_block_paired_heads_facet(rng):
+    """extract_facet with fused_paired_heads == the unfused path."""
+    cfg = tiny_cfg(fused_paired_heads=True)
+    params = dinov2.init_params(jax.random.PRNGKey(8), cfg)
+    imgs = jnp.asarray(rng.uniform(size=(2, 98, 98, 3)).astype(np.float32))
+
+    ref = dinov2.extract_facet(params, cfg, imgs)["feature_maps"]
+    with pltpu.force_tpu_interpret_mode():
+        fused = dinov2.extract_facet(
+            params, dataclasses.replace(cfg, use_fused_block=True), imgs
+        )["feature_maps"]
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
