@@ -361,3 +361,80 @@ def test_fused_score_matches_xla_path(rng):
     np.testing.assert_array_equal(
         np.asarray(res_fused.inliers), np.asarray(res_xla.inliers)
     )
+
+
+# ---------------------------------------------------------------------------
+# LO-RANSAC local optimization
+# ---------------------------------------------------------------------------
+
+
+def test_lo_refine_identity_at_zero_iters(rng):
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(rng, n=60, noise=0.3)
+    rj = jnp.asarray(r, jnp.float32)
+    tj = jnp.asarray(t, jnp.float32)
+    r_out, t_out, inl, cnt = pnp.lo_refine(
+        rj, tj,
+        jnp.asarray(proj, jnp.float32), jnp.asarray(pts3d, jnp.float32),
+        jnp.ones(60, bool), jnp.asarray(k_f, jnp.float32),
+        jnp.asarray(k_c, jnp.float32), iters=0,
+    )
+    np.testing.assert_array_equal(np.asarray(r_out), np.asarray(rj))
+    np.testing.assert_array_equal(np.asarray(t_out), np.asarray(tj))
+    assert int(cnt) == int(np.sum(np.asarray(inl)))
+
+
+def test_lo_refine_monotone_and_improves_coarse_pose(rng):
+    """From a perturbed pose on a noisy outlier-heavy set, LO must not lose
+    base-threshold inliers and should pull the pose into the basin."""
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(
+        rng, n=200, noise=1.0, outlier_frac=0.3
+    )
+    dr = Rotation.from_rotvec([0.03, -0.02, 0.015]).as_matrix()
+    r0 = jnp.asarray(dr @ r, jnp.float32)
+    t0 = jnp.asarray(t + np.array([0.004, -0.003, 0.008]), jnp.float32)
+    args = (
+        jnp.asarray(proj, jnp.float32), jnp.asarray(pts3d, jnp.float32),
+        jnp.ones(200, bool), jnp.asarray(k_f, jnp.float32),
+        jnp.asarray(k_c, jnp.float32),
+    )
+    _, _, _, cnt0 = pnp.lo_refine(r0, t0, *args, iters=0)
+    r_out, t_out, _, cnt = pnp.lo_refine(r0, t0, *args, iters=2)
+    assert int(cnt) >= int(cnt0)
+    assert float(geometry.rotation_error_deg(r_out, jnp.asarray(r))) < float(
+        geometry.rotation_error_deg(r0, jnp.asarray(r))
+    )
+    assert float(geometry.rotation_error_deg(r_out, jnp.asarray(r))) < 1.0
+    np.testing.assert_allclose(np.asarray(t_out), t, atol=5e-3)
+
+
+def test_ransac_lo_beats_raw_dlt_on_outlier_heavy_sets(rng):
+    """The measured cross-implementation gap (benchmarks/cross_parity.py):
+    at equal iteration budgets cv2's polished minimal solver beats raw
+    6-point DLT hypotheses on outlier-heavy noisy sets; LO-RANSAC must
+    recover that quality. Aggregate over scenes to avoid flakiness."""
+    wins = 0
+    trials = 6
+    for i in range(trials):
+        r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(
+            rng, n=300, noise=1.5, outlier_frac=0.5
+        )
+        common = dict(
+            valid=jnp.ones(300, bool),
+            k_f=jnp.asarray(k_f, jnp.float32),
+            k_c=jnp.asarray(k_c, jnp.float32),
+            key=jax.random.PRNGKey(100 + i),
+            num_hypotheses=400,
+            refine_lm=False,
+        )
+        res_raw = pnp.ransac_pnp(
+            jnp.asarray(proj, jnp.float32), jnp.asarray(pts3d, jnp.float32),
+            lo_iters=0, **common,
+        )
+        res_lo = pnp.ransac_pnp(
+            jnp.asarray(proj, jnp.float32), jnp.asarray(pts3d, jnp.float32),
+            lo_iters=2, **common,
+        )
+        assert float(res_lo.quality) >= float(res_raw.quality)
+        if float(res_lo.quality) > float(res_raw.quality):
+            wins += 1
+    assert wins >= trials // 2
