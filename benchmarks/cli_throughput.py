@@ -184,19 +184,39 @@ def build_split(workdir: str, n_images: int, dets_per_image: int) -> str:
 
 
 def build_repre(workdir: str) -> str:
-    """LM-O-scale synthetic repre saved to disk (so infer() loads it the way
-    it would load a real one)."""
-    from __graft_entry__ import _realistic_repre
-    from foundpose_tpu.repre import save_repre
+    """REAL object representation at the LM-O configuration: gen_templates
+    (57 viewpoints x 14 in-plane = 798 templates at 420px) + gen_repre with
+    the SAME deterministic ViT-S weights infer() will use (both stages seed
+    init_params with PRNGKey(0) when no checkpoint is given) — so the timed
+    infer() pass produces genuine poses, not chance matches against an
+    unrelated bank."""
+    from foundpose_tpu.pipeline import gen_repre as gen_repre_mod
+    from foundpose_tpu.pipeline import gen_templates as gen_templates_mod
 
-    rng = np.random.default_rng(0)
-    repre = _realistic_repre(
-        rng, num_templates=798, fmax=512, feat_dim=256, num_words=2048,
-        raw_dim=384,
+    bop_root = os.path.join(workdir, "bop")
+    tpl_opts = gen_templates_mod.GenTemplatesOpts(
+        object_dataset="demo",
+        object_lids=[OBJ_ID],
+        depth_range=(400.0, 520.0),  # the split's instance depth range
+        crop_size=(420, 420),
+        bop_root=bop_root,
+        output_dir=os.path.join(workdir, "templates"),
+        overwrite=True,
     )
-    repre_dir = os.path.join(workdir, "repre", "demo", "v1", str(OBJ_ID))
-    os.makedirs(repre_dir, exist_ok=True)
-    save_repre(repre, repre_dir)
+    gen_templates_mod.synthesize_templates(tpl_opts)
+    repre_opts = gen_repre_mod.GenRepreOpts(
+        object_dataset="demo",
+        object_lids=[OBJ_ID],
+        extractor_name=EXTRACTOR,
+        use_pallas_attention=True,
+        use_fused_block=True,
+        approx_gelu=True,
+        batch_size=32,
+        templates_dir=os.path.join(workdir, "templates"),
+        output_dir=os.path.join(workdir, "repre"),
+        overwrite=True,
+    )
+    gen_repre_mod.generate_repre_from_list(repre_opts)
     return os.path.join(workdir, "repre")
 
 
@@ -219,7 +239,9 @@ def main():
     enable_persistent_cache()
 
     stamp = os.path.join(args.workdir, "stamp.json")
-    want = {"images": args.images, "dets": args.dets}
+    # "repre" versions the split recipe: bump to invalidate cached workdirs
+    # built with an older build_repre (e.g. the pre-round-3 synthetic bank).
+    want = {"images": args.images, "dets": args.dets, "repre": "gen-v2"}
     if args.regen or not os.path.exists(stamp) or json.load(open(stamp)) != want:
         if os.path.isdir(args.workdir):
             shutil.rmtree(args.workdir)
@@ -261,20 +283,27 @@ def main():
             output_dir=out_dir,
         )
         t0 = time.perf_counter()
-        infer_mod.infer(opts)
+        counts = infer_mod.infer(opts)
         wall = time.perf_counter() - t0
+        n = sum(counts.values())
         results = json.load(
             open(os.path.join(out_dir, "demo", "v1", str(OBJ_ID),
                               "estimated-poses.json"))
         )
-        return wall, len(results)
+        return wall, n, results
 
     print("[cli-bench] warmup pass (compiles; persistent cache)…",
           file=sys.stderr)
-    w0, n0 = run_once()
+    w0, n0, _ = run_once()
     print(f"[cli-bench] warmup: {n0} crops in {w0:.1f}s", file=sys.stderr)
-    wall, n = run_once()
+    wall, n, results = run_once()
     cps = n / wall
+    # Per-stage medians over the successful estimates (each carries the
+    # reference-style per-instance times dict, scripts/infer.py:636-645).
+    stages = {}
+    for r in results:
+        for k, v in (r.get("time") or {}).items():
+            stages.setdefault(k, []).append(float(v))
     print(
         json.dumps(
             {
@@ -283,9 +312,14 @@ def main():
                 "unit": "crops/sec (host-inclusive: PNG IO + prep + warp + "
                         "pipeline + evaluator)",
                 "crops": n,
+                "success_rate": round(len(results) / max(n, 1), 3),
                 "wall_s": round(wall, 2),
                 "images": args.images,
                 "batch": args.batch,
+                "stage_median_s": {
+                    k: round(float(np.median(v)), 4)
+                    for k, v in sorted(stages.items())
+                },
             }
         )
     )

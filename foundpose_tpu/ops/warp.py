@@ -9,6 +9,7 @@ of one cv2 call per instance.
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +171,7 @@ def warp_depth_image(
     )
 
 
+@functools.lru_cache(maxsize=None)
 def make_single_image_warp(crop_size):
     """Factory for a jitted warp of ONE image into many crop cameras.
 
@@ -180,22 +182,42 @@ def make_single_image_warp(crop_size):
     memory and HBM (the reference pays the same per-instance cost as n
     cv2.remap calls, scripts/infer.py:438-449). Used by both the serving
     engine and the infer CLI so the two host paths cannot drift.
+
+    Memoized on crop_size: repeated factory calls (multiple engines, repeated
+    infer() runs in one process) return the SAME jitted callable, so the
+    compiled executables are reused instead of re-traced per call site.
+
+    Dtype contract: a uint8 image (+ any-dtype masks) yields uint8 crops and
+    uint8 {0,1} crop masks — the warp computes in f32 internally and
+    re-quantizes, exactly the quantization the reference's cv2.remap on
+    uint8 images has (scripts/infer.py:438-449) — which cuts host<->device
+    transfer of the crops 4x. Float inputs keep float outputs (engine path).
     """
 
     @jax.jit
     def warp(image, masks, src_cam: PinholeCamera, dst_cams: PinholeCamera):
+        u8 = image.dtype == jnp.uint8
+        img = image.astype(jnp.float32) / 255.0 if u8 else image
+        msks = masks.astype(jnp.float32)
+
         def one(msk, df, dc, dt):
             dst = PinholeCamera(f=df, c=dc, T_world_from_eye=dt,
                                 width=crop_size[0], height=crop_size[1])
             # area2x tracks the reference's INTER_AREA choice for downscaling
             # crops and degrades gracefully to (slightly smoothed) bilinear
             # when upsampling (reference: scripts/infer.py:433-443).
-            out_img = warp_image(src_cam, dst, image, interpolation="area2x")
+            out_img = warp_image(src_cam, dst, img, interpolation="area2x")
             out_msk = warp_image(src_cam, dst, msk, interpolation="nearest")
             return out_img, out_msk
 
-        return jax.vmap(one)(
-            masks, dst_cams.f, dst_cams.c, dst_cams.T_world_from_eye
+        out_imgs, out_msks = jax.vmap(one)(
+            msks, dst_cams.f, dst_cams.c, dst_cams.T_world_from_eye
         )
+        if u8:
+            out_imgs = jnp.clip(
+                jnp.round(out_imgs * 255.0), 0, 255
+            ).astype(jnp.uint8)
+            out_msks = (out_msks > 0.5).astype(jnp.uint8)
+        return out_imgs, out_msks
 
     return warp

@@ -138,6 +138,10 @@ def make_sharded_step(
         (word_centroids, word_idfs, template_descs_local, bank_feats_local,
          bank_vertices_local, bank_mask_local, raw_projector) = repre_arrays
 
+        if crops.dtype == jnp.uint8:
+            crops = crops.astype(jnp.float32) / 255.0
+        if masks.dtype != jnp.float32:
+            masks = masks.astype(jnp.float32)
         images = dinov2.normalize_images(crops).astype(config.compute_dtype)
         fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
         fmaps = fmaps.astype(jnp.float32)
@@ -342,6 +346,10 @@ def make_sharded_step_multi(
          bank_feats_local, bank_vertices_local, bank_mask_local,
          raw_projector) = repre_arrays
 
+        if crops.dtype == jnp.uint8:
+            crops = crops.astype(jnp.float32) / 255.0
+        if masks.dtype != jnp.float32:
+            masks = masks.astype(jnp.float32)
         images = dinov2.normalize_images(crops).astype(config.compute_dtype)
         fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
         fmaps = fmaps.astype(jnp.float32)

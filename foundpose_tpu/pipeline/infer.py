@@ -165,7 +165,15 @@ def prepare_instance_crops(
     if not instances:
         return []
     h, w = sample.image.shape[:2]
-    image = sample.image.astype(np.float32) / 255.0
+    # uint8 end to end: the warp quantizes its f32 result back to uint8
+    # (same as the reference's cv2.remap on uint8, scripts/infer.py:438-449)
+    # and pose_from_crops normalizes on device — 4x less host<->device
+    # traffic for the image, crops and masks than the old f32 flow.
+    image = (
+        sample.image
+        if sample.image.dtype == np.uint8
+        else np.clip(sample.image * 255.0, 0, 255).astype(np.uint8)
+    )
 
     crop_cams = []
     kept = []
@@ -207,9 +215,9 @@ def prepare_instance_crops(
     padded_cams = crop_cams + [crop_cams[-1]] * (n_pad - n)
     dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *padded_cams)
     mask_list = [
-        d.mask.astype(np.float32)
+        (d.mask > 0).astype(np.uint8)
         if d.mask is not None
-        else np.ones((h, w), np.float32)
+        else np.ones((h, w), np.uint8)
         for d in kept
     ]
     mask_list += [mask_list[-1]] * (n_pad - n)
@@ -630,7 +638,10 @@ def finalize_object_results(
     logger.info(f"Summary for object {lid}: {evaluator.summary()}")
 
 
-def infer(opts: InferOpts) -> None:
+def infer(opts: InferOpts) -> Dict[int, int]:
+    """Runs inference; returns {object_lid: instances processed} (estimates
+    written to disk may be fewer — only successful solves are serialized,
+    reference: scripts/infer.py:813-816)."""
     import jax
     import jax.numpy as jnp_mod
 
@@ -669,6 +680,7 @@ def infer(opts: InferOpts) -> None:
     models_info = bop.load_models_info(opts.bop_root, opts.object_dataset)
     object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])
 
+    counts: Dict[int, int] = {}
     for lid in object_lids:
         log_heading(logger, f"Inference for object {lid} of {opts.object_dataset}")
         out_json = os.path.join(
@@ -759,6 +771,7 @@ def infer(opts: InferOpts) -> None:
 
         results = runner.results()
         logger.info(f"{len(results)} instances processed for object {lid}")
+        counts[lid] = len(results)
         if not results:
             continue
 
@@ -767,6 +780,7 @@ def infer(opts: InferOpts) -> None:
             opts, lid, results, repre, model, evaluator, pts, sym_r, sym_t,
             diameter,
         )
+    return counts
 
 
 def main() -> None:
@@ -814,7 +828,7 @@ def run_batches_multi(
     return _run_batches_async(pending, batch_size, dispatch_one)
 
 
-def infer_multi_object(opts: InferOpts) -> None:
+def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
     """Mixed-object inference: all objects share batches through one stacked
     multi-object repre (pipeline/multi_object.py). One pass over the test
     images instead of the reference's per-object loop."""
@@ -974,3 +988,4 @@ def infer_multi_object(opts: InferOpts) -> None:
             opts, lid, results_by_lid[lid], repres[lid], model,
             evaluators[lid], pts, sym_r, sym_t, diameter,
         )
+    return {lid: len(results_by_lid[lid]) for lid in object_lids}

@@ -16,6 +16,7 @@ search, at PCA, and at PnP; SURVEY.md §3.1 "process/device boundaries").
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -452,18 +453,31 @@ def pose_from_crops(
     """Full online pipeline: images in, world-frame poses out (one XLA program).
 
     Args:
-        crops: [B, H, W, 3] float RGB in [0, 1] (already warped to the crop
-            cameras, reference: scripts/infer.py:438-449).
-        masks: [B, H, W] modal masks in crop space.
+        crops: [B, H, W, 3] RGB — float in [0, 1], or uint8 (the CLI ships
+            crops as uint8 to quarter the host->device transfer; same
+            quantization as the reference's cv2.remap-on-uint8 path,
+            scripts/infer.py:438-449) — already warped to the crop cameras.
+        masks: [B, H, W] modal masks in crop space (any dtype; nonzero=valid).
     """
+    if crops.dtype == jnp.uint8:
+        crops = crops.astype(jnp.float32) / 255.0
+    if masks.dtype != jnp.float32:
+        masks = masks.astype(jnp.float32)
     images = dinov2.normalize_images(crops).astype(config.compute_dtype)
     out = dinov2.extract_facet(vit_params, vit_cfg, images)
     feature_maps = out["feature_maps"].astype(jnp.float32)
     return pose_from_features(feature_maps, masks, cameras, repre, key, config)
 
 
+@functools.lru_cache(maxsize=None)
 def jit_pose_from_crops(vit_cfg: dinov2.DinoV2Config, config: InferenceConfig):
-    """Returns the jitted end-to-end step with static configs closed over."""
+    """Returns the jitted end-to-end step with static configs closed over.
+
+    Memoized on the (frozen, hashable) configs: repeated calls — one engine
+    per request, repeated infer() runs in one process, the CLI bench's
+    warm/timed passes — get the SAME jitted callable, so jax's executable
+    cache is hit instead of re-tracing and re-compiling a fresh closure
+    (a full recompile costs minutes on remote-compile backends)."""
 
     @jax.jit
     def step(vit_params, crops, masks, cameras, repre, key):

@@ -10,6 +10,8 @@ detections of different objects (full-image inference in one step).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -197,11 +199,17 @@ def pose_from_features_multi(
     )
 
 
+@functools.lru_cache(maxsize=None)
 def jit_pose_from_crops_multi(vit_cfg: dinov2.DinoV2Config, config: InferenceConfig):
-    """Jitted image->pose step over mixed-object batches."""
+    """Jitted image->pose step over mixed-object batches. Memoized like
+    inference.jit_pose_from_crops (same uint8-crop contract)."""
 
     @jax.jit
     def step(vit_params, crops, masks, cameras, obj_idx, multi_repre, key):
+        if crops.dtype == jnp.uint8:
+            crops = crops.astype(jnp.float32) / 255.0
+        if masks.dtype != jnp.float32:
+            masks = masks.astype(jnp.float32)
         images = dinov2.normalize_images(crops).astype(config.compute_dtype)
         fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
         return pose_from_features_multi(

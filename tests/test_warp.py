@@ -109,3 +109,38 @@ def test_area2x_close_to_cv2_area_on_downscale(rng):
     err_area = np.abs(got_area - exp).mean()
     err_bil = np.abs(got_bil - exp).mean()
     assert err_area < err_bil
+
+
+def test_single_image_warp_uint8_matches_float(rng):
+    """uint8 in -> uint8 out, equal to the float warp re-quantized (the warp
+    computes in f32 internally; pipeline/infer ships uint8 crops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from foundpose_tpu.ops.warp import make_single_image_warp
+    from foundpose_tpu.structs import PinholeCamera
+
+    warp = make_single_image_warp((64, 64))
+    img8 = rng.integers(0, 256, size=(80, 100, 3)).astype(np.uint8)
+    msk8 = (rng.uniform(size=(2, 80, 100)) > 0.5).astype(np.uint8)
+    src = PinholeCamera.create(f=(90.0, 90.0), c=(49.5, 39.5),
+                               width=100, height=80,
+                               T_world_from_eye=np.eye(4))
+    dst1 = PinholeCamera.create(f=(120.0, 120.0), c=(31.5, 31.5),
+                                width=64, height=64,
+                                T_world_from_eye=np.eye(4))
+    dst = jax.tree.map(lambda *a: jnp.stack(a), dst1, dst1)
+
+    out8, outm8 = warp(jnp.asarray(img8), jnp.asarray(msk8), src, dst)
+    outf, outmf = warp(jnp.asarray(img8.astype(np.float32) / 255.0),
+                       jnp.asarray(msk8.astype(np.float32)), src, dst)
+    assert out8.dtype == jnp.uint8 and outm8.dtype == jnp.uint8
+    assert outf.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out8).astype(np.float32),
+        np.clip(np.round(np.asarray(outf) * 255.0), 0, 255),
+        atol=1.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outm8), (np.asarray(outmf) > 0.5).astype(np.uint8)
+    )
