@@ -422,18 +422,18 @@ def _run_blocks(x: Array, blocks: Dict[str, Array], cfg: DinoV2Config, upto: int
         # Multi-image grid steps only when the batch divides and the
         # g-scaled dynamic footprint still fits; drop to g=1 otherwise.
         g = cfg.fused_images_per_step
-        if b % g != 0 or choose_mlp_chunks(
-            t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu, images_per_step=g,
-            paired_heads=cfg.fused_paired_heads,
-        ) is None:
-            g = 1
-        use_fused = (
-            choose_mlp_chunks(
+
+        def _chunks(g_):
+            return choose_mlp_chunks(
                 t_pad, d, cfg.mlp_hidden, esize, cfg.swiglu,
-                images_per_step=g, paired_heads=cfg.fused_paired_heads,
+                images_per_step=g_, paired_heads=cfg.fused_paired_heads,
             )
-            is not None
-        )
+
+        chunks = _chunks(g) if b % g == 0 else None
+        if chunks is None and g != 1:
+            g = 1
+            chunks = _chunks(g)
+        use_fused = chunks is not None
     if use_fused:
         from foundpose_tpu.ops.vit_block import fused_vit_block
 

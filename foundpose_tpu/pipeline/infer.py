@@ -172,7 +172,8 @@ def prepare_instance_crops(
     image = (
         sample.image
         if sample.image.dtype == np.uint8
-        else np.clip(sample.image * 255.0, 0, 255).astype(np.uint8)
+        # round (not truncate) for parity with the warp's own re-quantization
+        else np.clip(np.round(sample.image * 255.0), 0, 255).astype(np.uint8)
     )
 
     crop_cams = []
@@ -308,19 +309,28 @@ class BatchRunner:
         self._in_flight: List[Tuple[List[PendingInstance], Any]] = []
         self._results: List[Tuple[PendingInstance, Dict[str, Any]]] = []
         self._seq = 0
-        self._t0 = time.perf_counter()
+        # Wall spent inside dispatch + fetch only (matches the reference's
+        # per-stage semantics, scripts/infer.py:636-645): image decode and
+        # crop prep are recorded separately as times['prep'], so counting
+        # them here again would double-report them in the BOP CSV time sums.
+        self._busy_s = 0.0
 
     def _fetch_oldest(self) -> None:
         import jax
 
         chunk, out = self._in_flight.pop(0)
+        t0 = time.perf_counter()
         out_np = jax.tree.map(np.asarray, out)  # forces execution
+        self._busy_s += time.perf_counter() - t0
         for i, p in enumerate(chunk):
             self._results.append((p, _unpack_result(out_np, i)))
 
     def _dispatch(self, chunk: List[PendingInstance]) -> None:
         padded = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-        self._in_flight.append((chunk, self.dispatch_one(self._seq, padded)))
+        t0 = time.perf_counter()
+        out = self.dispatch_one(self._seq, padded)
+        self._busy_s += time.perf_counter() - t0
+        self._in_flight.append((chunk, out))
         self._seq += 1
         while len(self._in_flight) > self.max_in_flight:
             self._fetch_oldest()
@@ -339,20 +349,13 @@ class BatchRunner:
             self._buffer = []
         while self._in_flight:
             self._fetch_oldest()
-        # Per-instance share of the whole dispatch+fetch wall (per-batch
-        # timing is meaningless once dispatch is asynchronous).
+        # Per-instance share of the dispatch+fetch wall (per-batch timing is
+        # meaningless once dispatch is asynchronous).
         if self._results:
-            step_time = (time.perf_counter() - self._t0) / len(self._results)
+            step_time = self._busy_s / len(self._results)
             for p, _ in self._results:
                 p.times["pipeline"] = step_time
         return self._results
-
-
-def _run_batches_async(pending, batch_size, dispatch_one):
-    """One-shot wrapper over BatchRunner for callers with a fixed work list."""
-    runner = BatchRunner(batch_size, dispatch_one)
-    runner.push(pending)
-    return runner.results()
 
 
 def _iter_samples_prefetched(image_keys, load_fn, depth: int = 2):
@@ -385,30 +388,6 @@ def _iter_samples_prefetched(image_keys, load_fn, depth: int = 2):
                 raise val
             return
         yield im_key, val
-
-
-def run_batches(
-    pending: List[PendingInstance],
-    step,
-    vit_params,
-    repre,
-    batch_size: int,
-) -> List[Tuple[PendingInstance, Dict[str, Any]]]:
-    """Runs the jitted pipeline over fixed-size batches (last batch padded),
-    dispatching all batches before fetching any (reference per-instance loop:
-    scripts/infer.py:368-733)."""
-    import jax
-    import jax.numpy as jnp
-
-    def dispatch_one(s, padded):
-        crops = jnp.asarray(np.stack([p.crop_image for p in padded]))
-        masks = jnp.asarray(np.stack([p.crop_mask for p in padded]))
-        cams = jax.tree.map(
-            lambda *x: jnp.stack(x), *[p.crop_camera for p in padded]
-        )
-        return step(vit_params, crops, masks, cams, repre, jax.random.PRNGKey(s))
-
-    return _run_batches_async(pending, batch_size, dispatch_one)
 
 
 def save_visualization(
@@ -520,6 +499,10 @@ def finalize_object_results(
         vis_dir = os.path.join(
             opts.output_dir, opts.object_dataset, opts.version, str(lid), "vis"
         )
+        # Created up front: score_hist.png below writes here even when no
+        # per-instance tile grid was saved (e.g. every results[:vis_count]
+        # instance failed but a later one succeeded).
+        os.makedirs(vis_dir, exist_ok=True)
         for vi, (p, r) in enumerate(results[: opts.vis_count]):
             if not r["success"]:
                 continue
@@ -796,36 +779,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-
-
-def run_batches_multi(
-    pending: List[PendingInstance],
-    obj_to_idx: Dict[int, int],
-    step,
-    vit_params,
-    multi_repre,
-    batch_size: int,
-) -> List[Tuple[PendingInstance, Dict[str, Any]]]:
-    """Mixed-object variant of run_batches: each crop carries its object index
-    into the stacked multi-object repre. Same dispatch-all-then-fetch driver."""
-    import jax
-    import jax.numpy as jnp
-
-    def dispatch_one(s, padded):
-        crops = jnp.asarray(np.stack([p.crop_image for p in padded]))
-        masks = jnp.asarray(np.stack([p.crop_mask for p in padded]))
-        cams = jax.tree.map(
-            lambda *x: jnp.stack(x), *[p.crop_camera for p in padded]
-        )
-        obj_idx = jnp.asarray(
-            [obj_to_idx[p.obj_id] for p in padded], dtype=jnp.int32
-        )
-        return step(
-            vit_params, crops, masks, cams, obj_idx, multi_repre,
-            jax.random.PRNGKey(s),
-        )
-
-    return _run_batches_async(pending, batch_size, dispatch_one)
 
 
 def infer_multi_object(opts: InferOpts) -> Dict[int, int]:

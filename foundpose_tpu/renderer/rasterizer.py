@@ -89,8 +89,9 @@ def _load_native(build: bool = True):
 # Loaded (and if necessary built) lazily on the first rasterize() call, NOT
 # at import time: unrelated importers must not pay the build latency, and
 # laziness plus the flock in _build_native keeps concurrent importers safe.
-# `None` after a load attempt means "use the numpy fallback" (tests set this
-# directly to force the fallback path).
+# `None` after a load attempt means "use the numpy fallback" (tests force the
+# fallback by setting BOTH `_NATIVE = None` and `_NATIVE_TRIED = True`;
+# `_NATIVE = None` alone would just make _get_native retry the load).
 _NATIVE = None
 _NATIVE_TRIED = False
 
