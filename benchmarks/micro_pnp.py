@@ -68,6 +68,11 @@ def main():
             lambda p2, p3, v, f, c, key: pnp_mod.ransac_pnp(
                 p2, p3, v, f, c, key, num_hypotheses=h, refine_lm=True,
                 lm_iters=10,
+                # Pinned off so the micro isolates RANSAC+LM; the pipelines
+                # run lo_refine on the winning template only, and leaving the
+                # function default (2) here would fold two overdetermined DLT
+                # refits into every recorded stage number.
+                lo_iters=0,
             )
         )(c2d, c3d, valid, kf, kc, pkeys)
         return res.R.sum() + res.t.sum() + res.quality.sum()
@@ -76,6 +81,7 @@ def main():
         res = jax.vmap(
             lambda p2, p3, v, f, c, key: pnp_mod.ransac_pnp(
                 p2, p3, v, f, c, key, num_hypotheses=h, refine_lm=False,
+                lo_iters=0,
             )
         )(c2d, c3d, valid, kf, kc, pkeys)
         return res.R.sum() + res.t.sum() + res.quality.sum()

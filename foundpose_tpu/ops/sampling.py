@@ -90,11 +90,13 @@ def sample_grid_features(
 
     PRECONDITION: `points` must be the row-major grid of cell centers
     produced by `grid_points(image_size, cell_size)` — i.e. point (r, c) at
-    ((c+0.5)*cell, (r+0.5)*cell). The fast path below is keyed only on
-    shapes (point VALUES may be traced under jit and cannot be inspected),
-    so arbitrary points that merely match the count would silently get the
-    wrong features; callers with non-grid points must use
-    `sample_feature_map` directly.
+    ((c+0.5)*cell, (r+0.5)*cell). Under jit the point VALUES are tracers and
+    cannot be inspected, so the fast path is keyed on shapes alone there;
+    arbitrary traced points that merely match the count would silently get
+    the wrong features — callers with non-grid points must use
+    `sample_feature_map` directly. For concrete inputs (numpy or committed
+    jax arrays) the first and last points are validated against the expected
+    grid corners and non-grid inputs fall back to true bilinear sampling.
 
     When the grid matches the feature map exactly — one cell per texel, the
     default for stride-14 DINOv2 on 14-px cells — every cell center lands on
@@ -114,13 +116,22 @@ def sample_grid_features(
         and image_size[1] / hf == cell_size
         and points.shape[0] == rows * cols
     ):
-        # Cheap guard when point values are concrete (numpy/committed):
-        # the first grid point must be the first cell center.
-        first = points[0] if isinstance(points, np.ndarray) else None
-        if first is not None and not np.allclose(
-            first, [cell_size / 2.0, cell_size / 2.0], atol=1e-4
-        ):
-            return sample_feature_map(feature_map_hwc, points, image_size)
+        # Cheap guard when point values are concrete (numpy or a committed
+        # jax array — both inspectable; only tracers are not): the first and
+        # last points must be the corresponding grid cell centers. Two
+        # endpoint checks don't prove the interior is the grid, but they
+        # catch the realistic misuse modes (shuffled/subsampled/arbitrary
+        # point sets) at O(1) host-transfer cost.
+        if not isinstance(points, jax.core.Tracer):
+            ends = np.asarray(points[jnp.asarray([0, rows * cols - 1])])
+            expect = np.asarray(
+                [
+                    [cell_size / 2.0, cell_size / 2.0],
+                    [(cols - 0.5) * cell_size, (rows - 0.5) * cell_size],
+                ]
+            )
+            if not np.allclose(ends, expect, atol=1e-4):
+                return sample_feature_map(feature_map_hwc, points, image_size)
         return feature_map_hwc.reshape(rows * cols, feature_map_hwc.shape[-1])
     return sample_feature_map(feature_map_hwc, points, image_size)
 

@@ -319,12 +319,6 @@ def _block_kernel(
     o_ref[...] = out.reshape(g, t_pad, d)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("seq_len", "num_heads", "head_dim", "eps", "approx_gelu",
-                     "softmax_stabilizer", "images_per_step", "paired_heads",
-                     "interpret"),
-)
 def fused_vit_block(
     x: Array,
     p: Dict[str, Array],
@@ -350,20 +344,20 @@ def fused_vit_block(
 
     paired_heads: compute two heads' attention per matmul pair (see the
     kernel comment); applies when num_heads is even and head_dim <= 64,
-    silently ignored otherwise."""
+    silently ignored otherwise.
+
+    This wrapper derives the MLP chunking and the scoped-VMEM request from
+    the mutable `VMEM_LIMIT_BYTES` OUTSIDE the jit boundary (shape-only
+    math, so it also runs fine under an outer trace) and passes both as
+    static arguments — reading the global inside the jitted body would bake
+    the value at first trace and silently ignore later mutations (the
+    chunked-parity tests mutate it)."""
     b, t_pad, d = x.shape
     g = images_per_step
     if b % g != 0:
         raise ValueError(f"batch {b} not divisible by images_per_step={g}")
     swiglu = "w12_kernel" in p
-    if swiglu:
-        mlp_w1, mlp_b1 = p["w12_kernel"], p["w12_bias"]
-        mlp_w2, mlp_b2 = p["w3_kernel"], p["w3_bias"]
-        hidden = mlp_w2.shape[0]
-    else:
-        mlp_w1, mlp_b1 = p["fc1_kernel"], p["fc1_bias"]
-        mlp_w2, mlp_b2 = p["fc2_kernel"], p["fc2_bias"]
-        hidden = mlp_w1.shape[-1]
+    hidden = p["w3_kernel"].shape[0] if swiglu else p["fc1_kernel"].shape[-1]
 
     # Request a scoped-VMEM limit sized to this block's actual footprint
     # instead of XLA's conservative 16 MB default (the chip has 128 MB):
@@ -388,6 +382,47 @@ def fused_vit_block(
         images_per_step=g, paired_heads=paired_heads,
     )
     vmem_limit = min(VMEM_LIMIT_BYTES, max(est, 16 * 2**20))
+    return _fused_vit_block_impl(
+        x, p, seq_len=seq_len, num_heads=num_heads, head_dim=head_dim,
+        eps=eps, approx_gelu=approx_gelu,
+        softmax_stabilizer=softmax_stabilizer, images_per_step=g,
+        paired_heads=paired_heads, mlp_chunks=mlp_chunks,
+        vmem_limit=vmem_limit, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seq_len", "num_heads", "head_dim", "eps", "approx_gelu",
+                     "softmax_stabilizer", "images_per_step", "paired_heads",
+                     "mlp_chunks", "vmem_limit", "interpret"),
+)
+def _fused_vit_block_impl(
+    x: Array,
+    p: Dict[str, Array],
+    seq_len: int,
+    num_heads: int,
+    head_dim: int,
+    eps: float,
+    approx_gelu: bool,
+    softmax_stabilizer: str,
+    images_per_step: int,
+    paired_heads: bool,
+    mlp_chunks: int,
+    vmem_limit: int,
+    interpret: bool,
+) -> Array:
+    b, t_pad, d = x.shape
+    g = images_per_step
+    swiglu = "w12_kernel" in p
+    if swiglu:
+        mlp_w1, mlp_b1 = p["w12_kernel"], p["w12_bias"]
+        mlp_w2, mlp_b2 = p["w3_kernel"], p["w3_bias"]
+        hidden = mlp_w2.shape[0]
+    else:
+        mlp_w1, mlp_b1 = p["fc1_kernel"], p["fc1_bias"]
+        mlp_w2, mlp_b2 = p["fc2_kernel"], p["fc2_bias"]
+        hidden = mlp_w1.shape[-1]
 
     rep = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                      memory_space=pltpu.VMEM)

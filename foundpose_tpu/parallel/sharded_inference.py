@@ -211,46 +211,19 @@ def make_sharded_step(
             t_best = results.t[best]
             inliers_best = results.inliers[best]
 
-            # LO-RANSAC refit of the winner only (pose/pnp.lo_refine; same
-            # winner-only policy as LM, matching pipeline/inference.py).
-            if config.pnp_lo_iters > 0:
-                r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
-                    r_best, t_best,
-                    c2d[best].astype(jnp.float32),
-                    c3d[best].astype(jnp.float32),
-                    cvalid[best], kf, kc,
-                    inlier_thresh=config.pnp_inlier_thresh,
-                    iters=config.pnp_lo_iters,
-                    inliers=inliers_best,
-                    count=results.quality[best],
-                )
-
-            # LM refinement of the winner only (reference: pnp_util.py:66-74).
-            if config.pnp_refine_lm:
-                r_ref, t_ref = pnp_mod.refine_pose_lm(
-                    r_best, t_best,
-                    c2d[best].astype(jnp.float32),
-                    c3d[best].astype(jnp.float32),
-                    inliers_best, kf, kc, iters=config.lm_iters,
-                )
-                ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
-                r_best = jnp.where(ok, r_ref, r_best)
-                t_best = jnp.where(ok, t_ref, t_best)
-
-            # Optional featuremetric refinement against the winning template's
-            # (already-fetched) bank, mirroring the single-chip pipeline.
-            if config.refine_featuremetric:
-                from foundpose_tpu.pose.featuremetric import (
-                    refine_pose_featuremetric,
-                )
-
-                fmap_proj = pca_transform(raw_projector, fmap) if has_pca else fmap
-                r_best, t_best, _ = refine_pose_featuremetric(
-                    r_best, t_best, fmap_proj, kf, kc,
-                    sel_verts[best], sel_feats[best], sel_mask[best],
-                    crop_size=config.crop_size,
-                    iters=config.featuremetric_iters,
-                )
+            # Winner-only LO-RANSAC + LM + featuremetric — the shared
+            # implementation (inference.refine_winner) used by all four
+            # variants; the banks were already collectively fetched, so the
+            # winner_bank closure just indexes them.
+            r_best, t_best = inference_mod.refine_winner(
+                r_best, t_best, inliers_best, results.quality[best],
+                c2d[best], c3d[best], cvalid[best], kf, kc, config,
+                fmap=fmap,
+                raw_projector=raw_projector if has_pca else None,
+                winner_bank=lambda: (
+                    sel_verts[best], sel_feats[best], sel_mask[best]
+                ),
+            )
 
             num_grid = points.shape[0]
             score = inference_mod.estimate_score(
@@ -376,6 +349,7 @@ def make_sharded_step_multi(
                 valid = sampling.subsample_points(
                     points, valid, config.max_num_queries, sk
                 )
+            proj = None
             if has_pca:
                 proj = jax.tree.map(lambda a: a[oi], raw_projector)
                 feats = pca_transform(proj, feats)
@@ -419,47 +393,18 @@ def make_sharded_step_multi(
             t_best = results.t[best]
             inliers_best = results.inliers[best]
 
-            # LO-RANSAC refit of the winner only (pose/pnp.lo_refine; same
-            # winner-only policy as LM, matching pipeline/inference.py).
-            if config.pnp_lo_iters > 0:
-                r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
-                    r_best, t_best,
-                    c2d[best].astype(jnp.float32),
-                    c3d[best].astype(jnp.float32),
-                    cvalid[best], kf, kc,
-                    inlier_thresh=config.pnp_inlier_thresh,
-                    iters=config.pnp_lo_iters,
-                    inliers=inliers_best,
-                    count=results.quality[best],
-                )
-
-            # LM refinement of the winner only (reference: pnp_util.py:66-74).
-            if config.pnp_refine_lm:
-                r_ref, t_ref = pnp_mod.refine_pose_lm(
-                    r_best, t_best,
-                    c2d[best].astype(jnp.float32),
-                    c3d[best].astype(jnp.float32),
-                    inliers_best, kf, kc, iters=config.lm_iters,
-                )
-                ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
-                r_best = jnp.where(ok, r_ref, r_best)
-                t_best = jnp.where(ok, t_ref, t_best)
-
-            # Optional featuremetric refinement against the winning template's
-            # (already-fetched) bank — present on every pipeline variant so
-            # the multi-object sharded path cannot drift from the others.
-            if config.refine_featuremetric:
-                from foundpose_tpu.pose.featuremetric import (
-                    refine_pose_featuremetric,
-                )
-
-                fmap_proj = pca_transform(proj, fmap) if has_pca else fmap
-                r_best, t_best, _ = refine_pose_featuremetric(
-                    r_best, t_best, fmap_proj, kf, kc,
-                    sel_verts[best], sel_feats[best], sel_mask[best],
-                    crop_size=config.crop_size,
-                    iters=config.featuremetric_iters,
-                )
+            # Winner-only LO-RANSAC + LM + featuremetric — the shared
+            # implementation (inference.refine_winner) used by all four
+            # variants.
+            r_best, t_best = inference_mod.refine_winner(
+                r_best, t_best, inliers_best, results.quality[best],
+                c2d[best], c3d[best], cvalid[best], kf, kc, config,
+                fmap=fmap,
+                raw_projector=proj,
+                winner_bank=lambda: (
+                    sel_verts[best], sel_feats[best], sel_mask[best]
+                ),
+            )
 
             num_grid = points.shape[0]
             score = inference_mod.estimate_score(

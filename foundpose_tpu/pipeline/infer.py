@@ -71,6 +71,9 @@ class InferOpts:
     pnp_required_ransac_conf: float = 0.99
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
+    # LO-RANSAC rounds on the winning template (pose/pnp.lo_refine); 0 turns
+    # the local-optimization stage off entirely.
+    pnp_lo_iters: int = 2
     refine_featuremetric: bool = False
 
     final_pose_type: str = "best_coarse"
@@ -364,30 +367,52 @@ def _iter_samples_prefetched(image_keys, load_fn, depth: int = 2):
     for the compressed-data inflate, so even a single-core host overlaps
     some decode with the (also GIL-releasing) device dispatch; on multi-core
     serving hosts the loader thread runs fully in parallel. Exceptions in
-    the loader re-raise in the consumer."""
+    the loader re-raise in the consumer.
+
+    Abandoning the generator (consumer exception, early break, GC) stops the
+    worker: the blocking q.put is a bounded-timeout loop on a stop flag, so
+    no thread (or the decoded full-resolution images it holds) outlives the
+    consumer by more than the timeout."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for im_key in image_keys:
-                q.put((im_key, load_fn(*im_key)))
+                if not put((im_key, load_fn(*im_key))):
+                    return
         except BaseException as e:
-            q.put((sentinel, e))
+            put((sentinel, e))
             return
-        q.put((sentinel, None))
+        put((sentinel, None))
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        im_key, val = q.get()
-        if im_key is sentinel:
-            if val is not None:
-                raise val
-            return
-        yield im_key, val
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            im_key, val = q.get()
+            if im_key is sentinel:
+                if val is not None:
+                    raise val
+                return
+            yield im_key, val
+    finally:
+        # Runs on normal exhaustion AND on generator close/abandonment
+        # (GeneratorExit lands here); the worker exits at its next put.
+        stop.set()
 
 
 def save_visualization(
@@ -651,6 +676,7 @@ def infer(opts: InferOpts) -> Dict[int, int]:
         pnp_ransac_iter=opts.pnp_ransac_iter,
         pnp_inlier_thresh=opts.pnp_inlier_thresh,
         pnp_refine_lm=opts.pnp_refine_lm,
+        pnp_lo_iters=opts.pnp_lo_iters,
         refine_featuremetric=opts.refine_featuremetric,
         compute_dtype=getattr(jnp_mod, opts.compute_dtype),
     )
@@ -815,6 +841,7 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
         pnp_ransac_iter=opts.pnp_ransac_iter,
         pnp_inlier_thresh=opts.pnp_inlier_thresh,
         pnp_refine_lm=opts.pnp_refine_lm,
+        pnp_lo_iters=opts.pnp_lo_iters,
         refine_featuremetric=opts.refine_featuremetric,
         compute_dtype=getattr(jnp_mod, opts.compute_dtype),
     )
@@ -934,6 +961,11 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
     for p, r in results:
         results_by_lid[p.obj_id].append((p, r))
     for lid in object_lids:
+        # Match the single-object driver: objects with no processed instances
+        # write nothing (an empty estimated-poses.json would otherwise make a
+        # later resume=True run treat the object as completed).
+        if not results_by_lid[lid]:
+            continue
         pts, sym_r, sym_t, model = obj_meta[lid]
         info = models_info.get(lid, {})
         diameter = float(info["diameter"]) if "diameter" in info else None

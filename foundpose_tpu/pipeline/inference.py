@@ -214,6 +214,95 @@ def match_batch(
     )
 
 
+def refine_winner(
+    r_best,
+    t_best,
+    inliers_best,
+    count_best,
+    c2d,
+    c3d,
+    cvalid,
+    cam_f,
+    cam_c,
+    config: InferenceConfig,
+    fmap=None,
+    raw_projector=None,
+    winner_bank=None,
+):
+    """Winner-only refinement chain: LO-RANSAC -> finite-guarded LM ->
+    optional featuremetric.
+
+    This is THE single implementation shared by all four pipeline variants
+    (solve_batch below, multi_object.per_crop, and both sharded steps in
+    parallel/sharded_inference) so the refinement policy cannot drift
+    between them. Selection stays by the PRE-refinement inlier count in
+    every variant (the reference also selects on solvePnPRansac's inlier
+    set, pnp_util.py:77-79; RefineLM never feeds back into selection,
+    scripts/infer.py:593-602), so refining only the winner is
+    output-equivalent and top_n x cheaper.
+
+    Args:
+        r_best/t_best: the winning template's RANSAC pose.
+        inliers_best/count_best: its inlier mask [N] and inlier count.
+        c2d/c3d/cvalid: its correspondence set ([N,2], [N,3], [N] bool).
+        fmap: the crop's raw feature map (featuremetric only).
+        raw_projector: PCA projector applied to `fmap`, or None.
+        winner_bank: () -> (vertices, feats, mask) for the winning
+            template's registered features; only called (hence only traced)
+            when config.refine_featuremetric — callers that gather the bank
+            lazily pay nothing otherwise.
+
+    Returns (r_best, t_best).
+    """
+    c2d32 = c2d.astype(jnp.float32)
+    c3d32 = c3d.astype(jnp.float32)
+
+    # LO-RANSAC refit of the winner only: template selection without LO
+    # agrees 1.0 with the reference replica (benchmarks/cross_parity.py);
+    # like LM, local optimization runs once, not top_n times (running it
+    # per-template measured 6.3% end-to-end).
+    if config.pnp_lo_iters > 0:
+        r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
+            r_best, t_best, c2d32, c3d32, cvalid, cam_f, cam_c,
+            inlier_thresh=config.pnp_inlier_thresh,
+            iters=config.pnp_lo_iters,
+            inliers=inliers_best,
+            count=count_best,
+        )
+
+    # LM refinement of the winner only (reference: pnp_util.py:66-74), kept
+    # only if it stayed finite (degenerate inlier sets can blow up the
+    # normal equations).
+    if config.pnp_refine_lm:
+        r_ref, t_ref = pnp_mod.refine_pose_lm(
+            r_best, t_best, c2d32, c3d32, inliers_best, cam_f, cam_c,
+            iters=config.lm_iters,
+        )
+        ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
+        r_best = jnp.where(ok, r_ref, r_best)
+        t_best = jnp.where(ok, t_ref, t_best)
+
+    # Optional featuremetric refinement against the dense (projected)
+    # feature map, using the winning template's registered features
+    # (paper stage; not in the reference OSS release).
+    if config.refine_featuremetric:
+        from foundpose_tpu.pose.featuremetric import refine_pose_featuremetric
+
+        cdt = config.compute_dtype
+        fmap_proj = (
+            fmap if raw_projector is None else pca_transform(raw_projector, fmap)
+        )
+        verts, feats, mask = winner_bank()
+        r_best, t_best, _ = refine_pose_featuremetric(
+            r_best, t_best, fmap_proj.astype(cdt), cam_f, cam_c,
+            verts, feats.astype(cdt), mask,
+            crop_size=config.crop_size,
+            iters=config.featuremetric_iters,
+        )
+
+    return r_best, t_best
+
+
 def solve_batch(
     feature_maps: Array,
     valid_b: Array,
@@ -262,62 +351,21 @@ def solve_batch(
         t_best = results.t[best]
         inliers_best = results.inliers[best]
 
-        # LO-RANSAC refit of the winner only: template selection without LO
-        # agrees 1.0 with the reference replica (benchmarks/cross_parity.py),
-        # so — like LM below — local optimization runs once, not top_n times
-        # (running it per-template measured 6.3% end-to-end).
-        if config.pnp_lo_iters > 0:
-            r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
-                r_best,
-                t_best,
-                cors.coord_2d[best].astype(jnp.float32),
-                cors.coord_3d[best].astype(jnp.float32),
-                cors.valid[best],
-                cam_f,
-                cam_c,
-                inlier_thresh=config.pnp_inlier_thresh,
-                iters=config.pnp_lo_iters,
-                inliers=inliers_best,
-                count=results.quality[best],
-            )
-
-        # LM refinement of the winner only (reference: pnp_util.py:66-74).
-        if config.pnp_refine_lm:
-            r_ref, t_ref = pnp_mod.refine_pose_lm(
-                r_best,
-                t_best,
-                cors.coord_2d[best].astype(jnp.float32),
-                cors.coord_3d[best].astype(jnp.float32),
-                inliers_best,
-                cam_f,
-                cam_c,
-                iters=config.lm_iters,
-            )
-            ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
-            r_best = jnp.where(ok, r_ref, r_best)
-            t_best = jnp.where(ok, t_ref, t_best)
-
-        # Optional featuremetric refinement against the dense (projected)
-        # feature map, using the winning template's registered features.
-        if config.refine_featuremetric:
-            from foundpose_tpu.pose.featuremetric import refine_pose_featuremetric
-
-            fmap_proj = fmap
-            if repre.raw_projector is not None:
-                fmap_proj = pca_transform(repre.raw_projector, fmap)
-            best_tid = template_ids[best]
-            r_best, t_best, _ = refine_pose_featuremetric(
-                r_best,
-                t_best,
-                fmap_proj.astype(cdt),
-                cam_f,
-                cam_c,
+        # Winner-only LO-RANSAC + LM + featuremetric — the shared
+        # implementation (refine_winner above) used by all four variants.
+        best_tid = template_ids[best]
+        r_best, t_best = refine_winner(
+            r_best, t_best, inliers_best, results.quality[best],
+            cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
+            cam_f, cam_c, config,
+            fmap=fmap,
+            raw_projector=repre.raw_projector,
+            winner_bank=lambda: (
                 repre.bank_vertices[best_tid],
-                repre.bank_feats[best_tid].astype(cdt),
+                repre.bank_feats[best_tid],
                 repre.bank_mask[best_tid],
-                crop_size=config.crop_size,
-                iters=config.featuremetric_iters,
-            )
+            ),
+        )
 
         # Submission score: many-to-many inlier ratio of the final pose
         # (reference: utils/eval_util.py:262-278).

@@ -25,6 +25,7 @@ from foundpose_tpu.pipeline.inference import (
     PoseOutputs,
     estimate_score,
     query_features_from_map,
+    refine_winner,
 )
 from foundpose_tpu.pose import corresp as corresp_mod
 from foundpose_tpu.pose import pnp as pnp_mod
@@ -74,6 +75,7 @@ def pose_from_features_multi(
             valid = sampling.subsample_points(
                 points, valid, config.max_num_queries, sub_key
             )
+        proj = None
         if multi_repre.raw_projector is not None:
             proj = jax.tree.map(lambda a: a[oi], multi_repre.raw_projector)
             feats = pca_transform(proj, feats)
@@ -114,48 +116,21 @@ def pose_from_features_multi(
         t_best = results.t[best]
         inliers_best = results.inliers[best]
 
-        # LO-RANSAC refit of the winner only (pose/pnp.lo_refine; same
-        # winner-only policy as LM, matching inference.solve_batch).
-        if config.pnp_lo_iters > 0:
-            r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
-                r_best, t_best,
-                cors.coord_2d[best].astype(jnp.float32),
-                cors.coord_3d[best].astype(jnp.float32),
-                cors.valid[best], cam_f, cam_c,
-                inlier_thresh=config.pnp_inlier_thresh,
-                iters=config.pnp_lo_iters,
-                inliers=inliers_best,
-                count=results.quality[best],
-            )
-
-        # LM refinement of the winner only (reference: pnp_util.py:66-74).
-        if config.pnp_refine_lm:
-            r_ref, t_ref = pnp_mod.refine_pose_lm(
-                r_best, t_best,
-                cors.coord_2d[best].astype(jnp.float32),
-                cors.coord_3d[best].astype(jnp.float32),
-                inliers_best, cam_f, cam_c, iters=config.lm_iters,
-            )
-            ok = jnp.isfinite(r_ref).all() & jnp.isfinite(t_ref).all()
-            r_best = jnp.where(ok, r_ref, r_best)
-            t_best = jnp.where(ok, t_ref, t_best)
-
-        # Optional featuremetric refinement against the winning template's
-        # bank (present on every pipeline variant).
-        if config.refine_featuremetric:
-            from foundpose_tpu.pose.featuremetric import refine_pose_featuremetric
-
-            fmap_proj = fmap
-            if multi_repre.raw_projector is not None:
-                fmap_proj = pca_transform(proj, fmap)
-            best_tid = template_ids[best]
-            r_best, t_best, _ = refine_pose_featuremetric(
-                r_best, t_best, fmap_proj.astype(cdt), cam_f, cam_c,
-                bank_vertices[best_tid], bank_feats[best_tid].astype(cdt),
+        # Winner-only LO-RANSAC + LM + featuremetric — the shared
+        # implementation (inference.refine_winner) used by all four variants.
+        best_tid = template_ids[best]
+        r_best, t_best = refine_winner(
+            r_best, t_best, inliers_best, results.quality[best],
+            cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
+            cam_f, cam_c, config,
+            fmap=fmap,
+            raw_projector=proj,
+            winner_bank=lambda: (
+                bank_vertices[best_tid],
+                bank_feats[best_tid],
                 bank_mask[best_tid],
-                crop_size=config.crop_size,
-                iters=config.featuremetric_iters,
-            )
+            ),
+        )
 
         num_grid = points.shape[0]
         score = estimate_score(

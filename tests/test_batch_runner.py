@@ -13,6 +13,7 @@ import time
 from typing import NamedTuple
 
 import numpy as np
+import pytest
 
 from foundpose_tpu.pipeline.infer import BatchRunner, PendingInstance
 
@@ -119,3 +120,43 @@ def test_max_in_flight_bounds_unfetched_batches():
         in_flight_high_water.append(len(runner._in_flight))
     assert max(in_flight_high_water) <= 2
     assert len(runner.results()) == 8
+
+
+def test_prefetch_worker_stops_when_generator_abandoned():
+    """Abandoning _iter_samples_prefetched (consumer exception / early break)
+    must stop the loader thread instead of leaving it blocked on q.put
+    holding decoded images (review finding, round 3)."""
+    from foundpose_tpu.pipeline.infer import _iter_samples_prefetched
+
+    loads = []
+
+    def load_fn(scene_id, im_id):
+        loads.append((scene_id, im_id))
+        return np.zeros((4, 4, 3), np.uint8)
+
+    keys = [(0, i) for i in range(100)]
+    gen = _iter_samples_prefetched(keys, load_fn, depth=2)
+    next(gen)
+    gen.close()  # GeneratorExit -> finally -> stop flag
+    # The worker exits at its next bounded put (<=0.2 s); afterwards no
+    # further loads may happen.
+    time.sleep(0.5)
+    n = len(loads)
+    time.sleep(0.5)
+    assert len(loads) == n, "loader thread kept running after abandonment"
+    # And it stopped far short of draining all 100 keys.
+    assert n <= 6, n
+
+
+def test_prefetch_loader_exception_reraises_in_consumer():
+    from foundpose_tpu.pipeline.infer import _iter_samples_prefetched
+
+    def load_fn(scene_id, im_id):
+        if im_id == 1:
+            raise RuntimeError("corrupt image")
+        return im_id
+
+    gen = _iter_samples_prefetched([(0, 0), (0, 1), (0, 2)], load_fn, depth=1)
+    assert next(gen)[1] == 0
+    with pytest.raises(RuntimeError, match="corrupt image"):
+        list(gen)
