@@ -1,0 +1,93 @@
+"""Multi-host dataset sharding for full-BOP runs (SURVEY.md §2.4 / §5.8c).
+
+The reference pipeline is strictly single-process — one Python loop over all
+test images of a dataset (reference: scripts/infer.py:368-733). Scaling a
+full-BOP sweep across hosts therefore needs no reference-shaped machinery
+(no NCCL/MPI); the TPU-native design is deterministic HOST-level work
+partitioning layered on the existing artifact flow:
+
+- each process takes every ``shard_count``-th (scene, image) key of the
+  ordered per-object key list (round-robin, so shards stay balanced even
+  when scenes vary in size),
+- writes shard-suffixed artifacts (``estimated-poses_shard0of4.json`` …) so
+  shards on a shared filesystem never collide,
+- and ``prepare_bop_submission`` merges the unsharded file plus all shard
+  files per object into one BOP19 CSV.
+
+Device-level parallelism (mesh data axis / template-bank sharding,
+``parallel/sharded_inference.py``) is orthogonal: each host process runs its
+own mesh over its local chips, and no cross-host collective is needed
+because poses of different images are independent.
+
+``shard_count=0`` resolves from the JAX distributed runtime
+(``jax.process_index()`` / ``jax.process_count()``) so a multi-host launch
+needs no per-host flag plumbing; explicit values support non-JAX launchers
+(SLURM array jobs, GKE indexed jobs).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, List, Sequence, Tuple
+
+POSES_BASENAME = "estimated-poses.json"
+
+
+def resolve_shard(shard_index: int, shard_count: int) -> Tuple[int, int]:
+    """Validates (index, count); count=0 means auto from the JAX runtime."""
+    if shard_count == 0:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    if shard_count < 1:
+        raise ValueError(f"shard_count must be >= 1 (or 0 for auto), got {shard_count}")
+    if not 0 <= shard_index < shard_count:
+        raise ValueError(
+            f"shard_index {shard_index} out of range for shard_count {shard_count}"
+        )
+    return shard_index, shard_count
+
+
+def shard_keys(
+    keys: Sequence[Any], shard_index: int, shard_count: int
+) -> List[Any]:
+    """Deterministic round-robin partition of an ORDERED key list.
+
+    Callers must pass the same ordering on every host (the pipelines use
+    sorted (scene, image) keys); round-robin keeps shards balanced to within
+    one key regardless of how work clusters within scenes.
+    """
+    if shard_count == 1:
+        return list(keys)
+    return list(keys)[shard_index::shard_count]
+
+
+def shard_suffix(shard_index: int, shard_count: int) -> str:
+    return "" if shard_count == 1 else f"_shard{shard_index}of{shard_count}"
+
+
+def sharded_name(basename: str, shard_index: int, shard_count: int) -> str:
+    """Inserts the shard suffix before the extension: a_shard0of2.json."""
+    stem, ext = os.path.splitext(basename)
+    return f"{stem}{shard_suffix(shard_index, shard_count)}{ext}"
+
+
+def load_object_estimates(object_dir: str) -> Tuple[List[Dict[str, Any]], List[str]]:
+    """Loads an object's pose records: the unsharded ``estimated-poses.json``
+    plus any ``estimated-poses_shard*of*.json`` files, concatenated in path
+    order. Returns (records, paths_read). Missing dir/files -> ([], [])."""
+    stem, ext = os.path.splitext(POSES_BASENAME)
+    paths = []
+    unsharded = os.path.join(object_dir, POSES_BASENAME)
+    if os.path.exists(unsharded):
+        paths.append(unsharded)
+    paths.extend(
+        sorted(glob.glob(os.path.join(object_dir, f"{stem}_shard*of*{ext}")))
+    )
+    records: List[Dict[str, Any]] = []
+    for p in paths:
+        with open(p) as f:
+            records.extend(json.load(f))
+    return records, paths

@@ -27,6 +27,7 @@ from foundpose_tpu import cameras as cam_mod
 from foundpose_tpu.data import bop, detections as det_mod
 from foundpose_tpu.eval.evaluator import EvaluatorPose
 from foundpose_tpu.models import dinov2, weights as weights_mod
+from foundpose_tpu.parallel import host_shard
 from foundpose_tpu.pipeline import inference
 from foundpose_tpu.repre import load_repre
 from foundpose_tpu.structs import PinholeCamera
@@ -106,6 +107,14 @@ class InferOpts:
     # SURVEY.md §5.4).
     resume: bool = False
     debug: bool = False
+
+    # Multi-host dataset sharding (parallel/host_shard.py; SURVEY §5.8c —
+    # no reference counterpart, the reference is single-process): this
+    # process handles every shard_count-th (scene, image) key and writes
+    # shard-suffixed artifacts which prepare_bop_submission merges.
+    # shard_count=0 resolves from jax.process_index()/process_count().
+    shard_index: int = 0
+    shard_count: int = 1
 
     # Injection seams (no reference counterpart): `vit_overrides` patches
     # fields of the parsed DinoV2Config (dataclasses.replace semantics,
@@ -617,15 +626,20 @@ def finalize_object_results(
             opts.output_dir, opts.object_dataset, opts.version, str(lid)
         )
         os.makedirs(out_dir, exist_ok=True)
-        config_util.save_opts(opts, os.path.join(out_dir, "config.json"))
-        evaluator.save_results_json(
-            os.path.join(out_dir, "estimated-poses.json")
+        # Shard-suffixed filenames (no-op suffix when unsharded) so shards on
+        # a shared filesystem never collide; vis/ images are keyed by
+        # (scene, image) and shards hold disjoint images, so they share vis/.
+        si, sc = host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+        name = lambda base: os.path.join(
+            out_dir, host_shard.sharded_name(base, si, sc)
         )
-        evaluator.save_metrics_tsv(os.path.join(out_dir, "metrics.tsv"))
+        config_util.save_opts(opts, name("config.json"))
+        evaluator.save_results_json(name("estimated-poses.json"))
+        evaluator.save_metrics_tsv(name("metrics.tsv"))
         # Reference-layout per-object metric table
         # (reference: utils/eval_util.py:400-516).
         evaluator.save_metrics(
-            os.path.join(out_dir, "metrics-table.tsv"),
+            name("metrics-table.tsv"),
             inlier_thresh=opts.pnp_inlier_thresh,
         )
         # Best/worst gallery over the visualized estimates
@@ -640,7 +654,7 @@ def finalize_object_results(
                 recs.append({"score": r["score"], "quality": r["quality"]})
                 imgs.append(np.asarray(PILImage.open(path)))
             write_gallery(
-                os.path.join(out_dir, "report.html"), recs, imgs,
+                name("report.html"), recs, imgs,
                 metric_key="score", top_n=min(10, len(recs)),
             )
     logger.info(f"Summary for object {lid}: {evaluator.summary()}")
@@ -689,12 +703,18 @@ def infer(opts: InferOpts) -> Dict[int, int]:
     models_info = bop.load_models_info(opts.bop_root, opts.object_dataset)
     object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])
 
+    # Host-level dataset sharding: this process handles image_keys[si::sc]
+    # and its resume/output files carry the shard suffix.
+    si, sc = host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+    if sc > 1:
+        logger.info(f"Dataset shard {si}/{sc} (host-level round-robin).")
+
     counts: Dict[int, int] = {}
     for lid in object_lids:
         log_heading(logger, f"Inference for object {lid} of {opts.object_dataset}")
         out_json = os.path.join(
             opts.output_dir, opts.object_dataset, opts.version, str(lid),
-            "estimated-poses.json",
+            host_shard.sharded_name("estimated-poses.json", si, sc),
         )
         if opts.resume and os.path.exists(out_json):
             logger.info(f"Resume: results exist for object {lid}, skipping.")
@@ -736,6 +756,9 @@ def infer(opts: InferOpts) -> Dict[int, int]:
             for scene_id in bop.list_scenes(opts.bop_root, opts.object_dataset):
                 for im_id in bop.list_images(opts.bop_root, opts.object_dataset, scene_id):
                     image_keys.append((scene_id, im_id))
+        # Both branches build the same ordered list on every host, so the
+        # round-robin shard is consistent across processes.
+        image_keys = host_shard.shard_keys(image_keys, si, sc)
         def load_sample(scene_id, im_id):
             return bop.prepare_sample(
                 opts.bop_root, opts.object_dataset, scene_id, im_id,
@@ -893,6 +916,11 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
             for s in bop.list_scenes(opts.bop_root, opts.object_dataset)
             for i in bop.list_images(opts.bop_root, opts.object_dataset, s)
         ]
+    # Host-level dataset sharding (same ordered list on every host).
+    si, sc = host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+    if sc > 1:
+        logger.info(f"Dataset shard {si}/{sc} (host-level round-robin).")
+    image_keys = host_shard.shard_keys(image_keys, si, sc)
     def dispatch_one(s, padded):
         crops = jnp_mod.asarray(np.stack([p.crop_image for p in padded]))
         masks = jnp_mod.asarray(np.stack([p.crop_mask for p in padded]))

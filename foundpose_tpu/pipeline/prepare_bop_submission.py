@@ -2,17 +2,19 @@
 
 Re-design of the reference submission script
 (reference: scripts/prepare_bop_submission.py:33-99); the CSV writer lives in
-eval/evaluator.py and is shared with tests.
+eval/evaluator.py and is shared with tests. Per-object records are gathered
+through `parallel/host_shard.load_object_estimates`, which also merges the
+shard-suffixed files written by multi-host runs (InferOpts.shard_count > 1).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 from typing import List, Optional
 
 from foundpose_tpu.eval.evaluator import write_bop_submission
+from foundpose_tpu.parallel import host_shard
 from foundpose_tpu.utils import config as config_util
 from foundpose_tpu.utils.logging_util import get_logger
 
@@ -37,10 +39,17 @@ def prepare(opts: PrepareBopSubmissionOpts) -> str:
     per_object = {}
     detection_times = {}
     for lid in lids:
-        path = os.path.join(base, str(lid), "estimated-poses.json")
-        logger.info(f"Loading {path}")
-        with open(path) as f:
-            records = json.load(f)
+        records, paths = host_shard.load_object_estimates(
+            os.path.join(base, str(lid))
+        )
+        if not paths:
+            raise FileNotFoundError(
+                f"no estimated-poses[.json|_shard*of*.json] under "
+                f"{os.path.join(base, str(lid))}"
+            )
+        logger.info(
+            f"Object {lid}: {len(records)} records from {len(paths)} file(s)"
+        )
         per_object[lid] = records
         for r in records:
             key = (int(r["scene_id"]), int(r["img_id"]))

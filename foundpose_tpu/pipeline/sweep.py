@@ -35,6 +35,14 @@ class SweepOpts:
     batch_size: int = 16
     resume: bool = True
 
+    # Multi-host dataset sharding (parallel/host_shard.py): each host runs
+    # the sweep with its own shard_index; shard_count=0 resolves from the
+    # JAX distributed runtime. Sharded sweeps skip the per-dataset
+    # submission CSV (it needs ALL shards' artifacts) — run
+    # prepare_bop_submission once afterwards; it merges the shard files.
+    shard_index: int = 0
+    shard_count: int = 1
+
     bop_root: str = ""
     repre_dir: str = ""
     detections_dir: str = ""  # expects <dir>/<dataset>.json
@@ -58,8 +66,20 @@ def sweep(opts: SweepOpts) -> Dict[str, str]:
             repre_dir=opts.repre_dir,
             detections_path=os.path.join(opts.detections_dir, f"{ds}.json"),
             output_dir=opts.output_dir,
+            shard_index=opts.shard_index,
+            shard_count=opts.shard_count,
         )
         infer_mod.infer(infer_opts)
+        if opts.shard_count != 1:
+            # The BOP19 CSV needs every shard's artifacts; this host only
+            # wrote its own. prepare_bop_submission (run once, afterwards)
+            # merges the shard-suffixed files.
+            logger.info(
+                f"Sharded sweep: skipping submission CSV for {ds}; run "
+                "prepare_bop_submission after all shards finish."
+            )
+            out[ds] = os.path.join(opts.output_dir, ds, opts.version)
+            continue
         csv = sub_mod.prepare(
             sub_mod.PrepareBopSubmissionOpts(
                 object_dataset=ds,

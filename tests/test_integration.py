@@ -297,6 +297,32 @@ def test_full_framework_end_to_end(tmp_path):
     )
     assert rot_err_fast < 15.0, rot_err_fast
 
+    # 3d. Multi-host dataset sharding (parallel/host_shard.py): two shard
+    # processes write shard-suffixed artifacts into ONE output dir, and the
+    # submission prep merges them into the same CSV an unsharded run gives.
+    for si in range(2):
+        inf.infer(
+            dataclasses.replace(
+                infer_opts,
+                vis_results=False,
+                output_dir=str(tmp_path / "inference_sharded"),
+                shard_index=si,
+                shard_count=2,
+            )
+        )
+    shard_dir = tmp_path / "inference_sharded" / "demo" / "v1" / str(OBJ_ID)
+    shard_files = sorted(p.name for p in shard_dir.glob("estimated-poses*"))
+    # The single test image lands on exactly one shard; the other writes
+    # nothing (empty-shard behavior mirrors the empty-object behavior).
+    assert shard_files == ["estimated-poses_shard0of2.json"]
+    sharded_csv = bop_sub_mod.prepare(
+        bop_sub_mod.PrepareBopSubmissionOpts(
+            object_dataset="demo",
+            version="v1",
+            results_dir=str(tmp_path / "inference_sharded"),
+        )
+    )
+
     # 4. BOP submission CSV.
     sub_opts = bop_sub_mod.PrepareBopSubmissionOpts(
         object_dataset="demo",
@@ -308,6 +334,14 @@ def test_full_framework_end_to_end(tmp_path):
     assert lines[0] == "scene_id,im_id,obj_id,score,R,t,time"
     assert len(lines) == 2
     assert lines[1].startswith("1,0,1,")
+    # Sharded and unsharded runs flatten to identical submissions (up to the
+    # wall-clock `time` column — the first run pays the jit compile).
+    strip_time = lambda text: [
+        l.rsplit(",", 1)[0] for l in text.strip().split("\n")
+    ]
+    assert strip_time(open(sharded_csv).read()) == strip_time(
+        open(csv_path).read()
+    )
 
     # 5. AR evaluation of the submission against the synthetic GT.
     from foundpose_tpu.pipeline import eval_ar as eval_ar_mod
