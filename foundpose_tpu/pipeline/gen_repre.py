@@ -23,6 +23,7 @@ from PIL import Image
 from foundpose_tpu import geometry
 from foundpose_tpu.data import bop
 from foundpose_tpu.models import dinov2, weights as weights_mod
+from foundpose_tpu.parallel import host_shard
 from foundpose_tpu.ops import morphology, sampling
 from foundpose_tpu.ops.kmeans import kmeans
 from foundpose_tpu.ops.pca import fit_pca, pca_transform
@@ -72,6 +73,10 @@ class GenRepreOpts:
     overwrite: bool = False
     # Skip objects whose repre.npz already exists (stage-level resume).
     resume: bool = False
+    # Multi-host sharding by OBJECT (per-object artifact dirs don't collide);
+    # shard_count=0 auto-resolves from the JAX distributed runtime.
+    shard_index: int = 0
+    shard_count: int = 1
     # Injection seam: DinoV2Config field replacements applied after
     # parse_model_name (e.g. {"embed_dim": 32, "depth": 2} for tiny test
     # ViTs) — tests configure through opts instead of monkey-patching
@@ -342,6 +347,9 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
 
     # Default to every object of the dataset, matching gen_templates/infer.
     object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])
+    object_lids = host_shard.shard_keys(
+        object_lids, *host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+    )
     for lid in object_lids:
         log_heading(logger, f"Building repre for object {lid}")
         templates_dir = os.path.join(

@@ -24,6 +24,7 @@ from PIL import Image
 
 from foundpose_tpu import cameras as cam_mod
 from foundpose_tpu.data import bop
+from foundpose_tpu.parallel import host_shard
 from foundpose_tpu.data.ply import Mesh
 from foundpose_tpu.renderer.base import RendererType, RenderType, build
 from foundpose_tpu.structs import PinholeCamera
@@ -63,6 +64,11 @@ class GenTemplatesOpts:
     # Skip objects whose metadata.json already exists (stage-level resume;
     # overwrite=False still raises on partial/unknown existing dirs).
     resume: bool = False
+    # Multi-host sharding: the offline stages shard by OBJECT (each object's
+    # artifacts live in their own dir, so no filename suffixing is needed).
+    # shard_count=0 auto-resolves from the JAX distributed runtime.
+    shard_index: int = 0
+    shard_count: int = 1
 
     # Paths (bop_root + output_dir replace the reference's env-var roots).
     bop_root: str = ""
@@ -258,6 +264,9 @@ def synthesize_templates_for_object(
 def synthesize_templates(opts: GenTemplatesOpts) -> None:
     """CLI driver over all objects. (reference: scripts/gen_templates.py:70-480)"""
     object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset)
+    object_lids = host_shard.shard_keys(
+        object_lids, *host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+    )
     models_info = bop.load_models_info(opts.bop_root, opts.object_dataset)
     for lid in object_lids:
         log_heading(logger, f"Object {lid} of {opts.object_dataset}")

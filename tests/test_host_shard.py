@@ -128,6 +128,33 @@ def test_prepare_submission_merges_sharded_and_unsharded_objects(tmp_path):
     assert rows == {("1", "0", "1"), ("1", "1", "1"), ("1", "0", "2")}
 
 
+def test_gen_stages_shard_by_object(tmp_path):
+    """The offline stages shard the OBJECT list: a shard that holds none of
+    the requested objects completes without rendering or reading any model
+    (its objects' artifacts belong to the other shard)."""
+    from foundpose_tpu.pipeline import gen_templates as gt
+
+    bop_root = tmp_path / "bop"
+    (bop_root / "demo" / "models").mkdir(parents=True)
+    (bop_root / "demo" / "models" / "models_info.json").write_text(
+        json.dumps({"1": {"diameter": 80.0}})
+    )
+    out = tmp_path / "templates"
+    # Object 1 is index 0 -> shard 0 of 2; shard 1 must no-op (no model PLY
+    # exists, so actually processing it would raise).
+    gt.synthesize_templates(
+        gt.GenTemplatesOpts(
+            object_dataset="demo",
+            object_lids=[1],
+            shard_index=1,
+            shard_count=2,
+            bop_root=str(bop_root),
+            output_dir=str(out),
+        )
+    )
+    assert not (out / "demo" / "v1" / "1").exists()
+
+
 def test_prepare_submission_missing_object_raises(tmp_path):
     base = tmp_path / "demo" / "v1" / "3"
     base.mkdir(parents=True)
