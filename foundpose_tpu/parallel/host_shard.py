@@ -30,6 +30,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from typing import Any, Dict, List, Sequence, Tuple
 
 POSES_BASENAME = "estimated-poses.json"
@@ -38,6 +39,15 @@ POSES_BASENAME = "estimated-poses.json"
 def resolve_shard(shard_index: int, shard_count: int) -> Tuple[int, int]:
     """Validates (index, count); count=0 means auto from the JAX runtime."""
     if shard_count == 0:
+        # An explicit index alongside auto-count is a contradiction (e.g. a
+        # SLURM array passing shard_index=$TASK_ID but forgetting the count):
+        # silently resolving would make every task process the FULL dataset.
+        if shard_index != 0:
+            raise ValueError(
+                f"shard_index={shard_index} with shard_count=0 (auto): pass "
+                "an explicit shard_count, or leave shard_index at 0 to take "
+                "it from the JAX distributed runtime"
+            )
         import jax
 
         return jax.process_index(), jax.process_count()
@@ -48,6 +58,12 @@ def resolve_shard(shard_index: int, shard_count: int) -> Tuple[int, int]:
             f"shard_index {shard_index} out of range for shard_count {shard_count}"
         )
     return shard_index, shard_count
+
+
+def shard_of(opts: Any) -> Tuple[int, int]:
+    """resolve_shard over any opts dataclass carrying shard_index/shard_count
+    — the single seam every pipeline driver goes through."""
+    return resolve_shard(opts.shard_index, opts.shard_count)
 
 
 def shard_keys(
@@ -75,17 +91,59 @@ def sharded_name(basename: str, shard_index: int, shard_count: int) -> str:
 
 
 def load_object_estimates(object_dir: str) -> Tuple[List[Dict[str, Any]], List[str]]:
-    """Loads an object's pose records: the unsharded ``estimated-poses.json``
-    plus any ``estimated-poses_shard*of*.json`` files, concatenated in path
-    order. Returns (records, paths_read). Missing dir/files -> ([], [])."""
+    """Loads an object's pose records: either the unsharded
+    ``estimated-poses.json`` or a COMPLETE, SINGLE-count set of
+    ``estimated-poses_shard{i}of{n}.json`` files (every shard writes its
+    file, even when empty, exactly so completeness is checkable here).
+    Returns (records, paths_read); missing dir/files -> ([], []).
+
+    Raises ValueError on stale-artifact mixes that would silently corrupt a
+    BOP submission: unsharded + shard files coexisting (e.g. an unsharded
+    run rerun sharded into the same dir — poses would be double-counted),
+    shard files from runs with different shard_counts, or an incomplete
+    shard set (a crashed or still-running shard — the merged submission
+    would silently miss its images)."""
     stem, ext = os.path.splitext(POSES_BASENAME)
-    paths = []
     unsharded = os.path.join(object_dir, POSES_BASENAME)
-    if os.path.exists(unsharded):
-        paths.append(unsharded)
-    paths.extend(
-        sorted(glob.glob(os.path.join(object_dir, f"{stem}_shard*of*{ext}")))
+    have_unsharded = os.path.exists(unsharded)
+    shard_paths = sorted(glob.glob(os.path.join(object_dir, f"{stem}_shard*of*{ext}")))
+    pattern = re.compile(
+        re.escape(stem) + r"_shard(\d+)of(\d+)" + re.escape(ext) + r"$"
     )
+    by_index: Dict[int, str] = {}
+    counts = set()
+    for p in shard_paths:
+        m = pattern.search(os.path.basename(p))
+        if not m:
+            continue
+        by_index[int(m.group(1))] = p
+        counts.add(int(m.group(2)))
+
+    if have_unsharded and by_index:
+        raise ValueError(
+            f"{object_dir} holds BOTH {POSES_BASENAME} and shard files — "
+            "stale artifacts from mixing an unsharded and a sharded run; "
+            "remove one set before preparing a submission"
+        )
+    if len(counts) > 1:
+        raise ValueError(
+            f"{object_dir} holds shard files from different shard_counts "
+            f"{sorted(counts)} — stale artifacts from re-running with a "
+            "different shard layout; remove the old set"
+        )
+    if by_index:
+        n = counts.pop()
+        missing = sorted(set(range(n)) - set(by_index))
+        if missing:
+            raise ValueError(
+                f"{object_dir}: shard set of {n} is missing shards {missing} "
+                "(crashed or still-running shard?); a merged submission "
+                "would silently drop their images"
+            )
+        paths = [by_index[i] for i in range(n)]
+    else:
+        paths = [unsharded] if have_unsharded else []
+
     records: List[Dict[str, Any]] = []
     for p in paths:
         with open(p) as f:

@@ -348,7 +348,7 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
     # Default to every object of the dataset, matching gen_templates/infer.
     object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])
     object_lids = host_shard.shard_keys(
-        object_lids, *host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+        object_lids, *host_shard.shard_of(opts)
     )
     for lid in object_lids:
         log_heading(logger, f"Building repre for object {lid}")

@@ -265,7 +265,7 @@ def synthesize_templates(opts: GenTemplatesOpts) -> None:
     """CLI driver over all objects. (reference: scripts/gen_templates.py:70-480)"""
     object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset)
     object_lids = host_shard.shard_keys(
-        object_lids, *host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+        object_lids, *host_shard.shard_of(opts)
     )
     models_info = bop.load_models_info(opts.bop_root, opts.object_dataset)
     for lid in object_lids:

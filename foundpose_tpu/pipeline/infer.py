@@ -523,6 +523,13 @@ def finalize_object_results(
     HTML gallery (reference: scripts/infer.py:813-816,
     utils/eval_util.py:400-590).
     """
+    # Resolved once for every run-level output below (poses/metrics/config/
+    # gallery AND the score histogram): per-instance vis tiles are keyed by
+    # (scene, image, instance) and shards hold disjoint images, but run-level
+    # files need the shard suffix or concurrent shards would clobber them.
+    si, sc = host_shard.shard_of(opts)
+    sname = lambda base: host_shard.sharded_name(base, si, sc)
+
     renderer = None
     vis_images = []
     if opts.vis_results:
@@ -580,7 +587,7 @@ def finalize_object_results(
         if scores:
             _Image.fromarray(
                 draw_histogram(np.asarray(scores), title="score")
-            ).save(os.path.join(vis_dir, "score_hist.png"))
+            ).save(os.path.join(vis_dir, sname("score_hist.png")))
 
     cam_t_np = np.asarray(repre.template_cameras.T_world_from_eye)
     for p, r in results:
@@ -626,13 +633,7 @@ def finalize_object_results(
             opts.output_dir, opts.object_dataset, opts.version, str(lid)
         )
         os.makedirs(out_dir, exist_ok=True)
-        # Shard-suffixed filenames (no-op suffix when unsharded) so shards on
-        # a shared filesystem never collide; vis/ images are keyed by
-        # (scene, image) and shards hold disjoint images, so they share vis/.
-        si, sc = host_shard.resolve_shard(opts.shard_index, opts.shard_count)
-        name = lambda base: os.path.join(
-            out_dir, host_shard.sharded_name(base, si, sc)
-        )
+        name = lambda base: os.path.join(out_dir, sname(base))
         config_util.save_opts(opts, name("config.json"))
         evaluator.save_results_json(name("estimated-poses.json"))
         evaluator.save_metrics_tsv(name("metrics.tsv"))
@@ -705,7 +706,7 @@ def infer(opts: InferOpts) -> Dict[int, int]:
 
     # Host-level dataset sharding: this process handles image_keys[si::sc]
     # and its resume/output files carry the shard suffix.
-    si, sc = host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+    si, sc = host_shard.shard_of(opts)
     if sc > 1:
         logger.info(f"Dataset shard {si}/{sc} (host-level round-robin).")
 
@@ -805,6 +806,16 @@ def infer(opts: InferOpts) -> Dict[int, int]:
         logger.info(f"{len(results)} instances processed for object {lid}")
         counts[lid] = len(results)
         if not results:
+            # Unsharded: write nothing (an empty estimated-poses.json would
+            # make resume=True treat a failed object as completed). Sharded:
+            # an empty shard is a legitimate outcome (its images fell on the
+            # other shards), and writing the empty file both marks the shard
+            # done for resume AND lets load_object_estimates verify the
+            # shard set is complete before merging a submission.
+            if sc > 1 and opts.save_estimates:
+                os.makedirs(os.path.dirname(out_json), exist_ok=True)
+                with open(out_json, "w") as f:
+                    f.write("[]")
             continue
 
         diameter = float(info["diameter"]) if "diameter" in info else None
@@ -917,7 +928,7 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
             for i in bop.list_images(opts.bop_root, opts.object_dataset, s)
         ]
     # Host-level dataset sharding (same ordered list on every host).
-    si, sc = host_shard.resolve_shard(opts.shard_index, opts.shard_count)
+    si, sc = host_shard.shard_of(opts)
     if sc > 1:
         logger.info(f"Dataset shard {si}/{sc} (host-level round-robin).")
     image_keys = host_shard.shard_keys(image_keys, si, sc)
@@ -990,9 +1001,20 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
         results_by_lid[p.obj_id].append((p, r))
     for lid in object_lids:
         # Match the single-object driver: objects with no processed instances
-        # write nothing (an empty estimated-poses.json would otherwise make a
-        # later resume=True run treat the object as completed).
+        # write nothing when unsharded (an empty estimated-poses.json would
+        # otherwise make a later resume=True run treat the object as
+        # completed); a SHARD with no instances does write its empty file so
+        # the submission merger can verify the shard set is complete.
         if not results_by_lid[lid]:
+            if sc > 1 and opts.save_estimates:
+                out_json = os.path.join(
+                    opts.output_dir, opts.object_dataset, opts.version,
+                    str(lid),
+                    host_shard.sharded_name("estimated-poses.json", si, sc),
+                )
+                os.makedirs(os.path.dirname(out_json), exist_ok=True)
+                with open(out_json, "w") as f:
+                    f.write("[]")
             continue
         pts, sym_r, sym_t, model = obj_meta[lid]
         info = models_info.get(lid, {})

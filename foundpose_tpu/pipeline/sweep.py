@@ -13,6 +13,7 @@ import dataclasses
 import os
 from typing import Dict, List, Optional
 
+from foundpose_tpu.parallel import host_shard
 from foundpose_tpu.pipeline import infer as infer_mod
 from foundpose_tpu.pipeline import prepare_bop_submission as sub_mod
 from foundpose_tpu.utils import config as config_util
@@ -70,7 +71,10 @@ def sweep(opts: SweepOpts) -> Dict[str, str]:
             shard_count=opts.shard_count,
         )
         infer_mod.infer(infer_opts)
-        if opts.shard_count != 1:
+        # Branch on the RESOLVED count: shard_count=0 on a single-process
+        # runtime resolves to (0, 1) and the artifacts ARE complete.
+        _, resolved_count = host_shard.shard_of(opts)
+        if resolved_count != 1:
             # The BOP19 CSV needs every shard's artifacts; this host only
             # wrote its own. prepare_bop_submission (run once, afterwards)
             # merges the shard-suffixed files.

@@ -54,6 +54,11 @@ def test_resolve_shard_auto_from_jax_runtime():
         jax.process_index(),
         jax.process_count(),
     )
+    # Explicit index + auto count is a contradiction (a launcher passing
+    # shard_index=$TASK_ID but forgetting the count would otherwise have
+    # every task silently process the FULL dataset).
+    with pytest.raises(ValueError):
+        host_shard.resolve_shard(3, 0)
 
 
 def test_sharded_name():
@@ -97,6 +102,39 @@ def test_load_object_estimates_merges_shards(tmp_path):
     ]
     # Missing directory -> empty, not an error.
     assert host_shard.load_object_estimates(str(tmp_path / "nope")) == ([], [])
+
+
+def test_load_object_estimates_rejects_stale_artifact_mixes(tmp_path):
+    """Stale-artifact layouts that would silently corrupt a submission must
+    raise instead of merging: unsharded + sharded coexisting (poses counted
+    twice), mixed shard_counts (re-run with a different layout), and an
+    incomplete shard set (crashed shard -> silently missing images)."""
+    # Unsharded + shard files coexist.
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    (d1 / "estimated-poses.json").write_text(json.dumps([_record(1, 0, 1)]))
+    (d1 / "estimated-poses_shard0of2.json").write_text(
+        json.dumps([_record(1, 0, 1)])
+    )
+    with pytest.raises(ValueError, match="BOTH"):
+        host_shard.load_object_estimates(str(d1))
+
+    # Mixed shard_counts.
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    (d2 / "estimated-poses_shard0of2.json").write_text("[]")
+    (d2 / "estimated-poses_shard0of4.json").write_text("[]")
+    with pytest.raises(ValueError, match="different shard_counts"):
+        host_shard.load_object_estimates(str(d2))
+
+    # Incomplete shard set (shard 1 of 2 never finished).
+    d3 = tmp_path / "c"
+    d3.mkdir()
+    (d3 / "estimated-poses_shard0of2.json").write_text(
+        json.dumps([_record(1, 0, 1)])
+    )
+    with pytest.raises(ValueError, match="missing shards \\[1\\]"):
+        host_shard.load_object_estimates(str(d3))
 
 
 def test_prepare_submission_merges_sharded_and_unsharded_objects(tmp_path):

@@ -312,9 +312,13 @@ def test_full_framework_end_to_end(tmp_path):
         )
     shard_dir = tmp_path / "inference_sharded" / "demo" / "v1" / str(OBJ_ID)
     shard_files = sorted(p.name for p in shard_dir.glob("estimated-poses*"))
-    # The single test image lands on exactly one shard; the other writes
-    # nothing (empty-shard behavior mirrors the empty-object behavior).
-    assert shard_files == ["estimated-poses_shard0of2.json"]
+    # The single test image lands on shard 0; shard 1 still writes its
+    # (empty) file so the submission merger can verify set completeness.
+    assert shard_files == [
+        "estimated-poses_shard0of2.json",
+        "estimated-poses_shard1of2.json",
+    ]
+    assert json.loads((shard_dir / "estimated-poses_shard1of2.json").read_text()) == []
     sharded_csv = bop_sub_mod.prepare(
         bop_sub_mod.PrepareBopSubmissionOpts(
             object_dataset="demo",
