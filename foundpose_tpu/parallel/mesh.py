@@ -17,13 +17,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 BANK_AXIS = "bank"
+MODEL_AXIS = "model"  # tensor-parallel ViT axis (parallel/tp_vit.py)
 
 
 def make_mesh(
-    shape: Optional[Tuple[int, int]] = None,
+    shape: Optional[Tuple[int, ...]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Builds a (data, bank) mesh over the available devices.
+    """Builds a (data, bank) mesh — or (data, bank, model) for a 3-tuple
+    shape — over the available devices.
 
     With no explicit shape, devices are split as evenly as possible with the
     bank axis at most 4 wide (the bank fetch collective is cheap; data
@@ -38,8 +40,9 @@ def make_mesh(
                 bank = cand
                 break
         shape = (n // bank, bank)
+    axes = (DATA_AXIS, BANK_AXIS, MODEL_AXIS)[: len(shape)]
     arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, (DATA_AXIS, BANK_AXIS))
+    return Mesh(arr, axes)
 
 
 def crop_sharding(mesh: Mesh) -> NamedSharding:

@@ -122,17 +122,43 @@ def make_sharded_step(
     vit_cfg: dinov2.DinoV2Config,
     config: InferenceConfig,
     repre: ObjectRepre,
+    tensor_parallel: bool = False,
 ):
     """Builds the jitted multi-chip step for one object representation.
 
     Returns step(vit_params, crops, masks, cameras, key) -> PoseOutputs.
     Crops/masks/cameras must be placed with `mesh.crop_sharding`, the repre
     with `mesh.shard_repre`. The global batch must divide the data axis.
+
+    With `tensor_parallel=True` the mesh must carry a third `model` axis and
+    vit_params must be the factored+sharded tree from
+    tp_vit.prepare_tp_params/shard_tp_params: the ViT then runs with heads
+    and MLP hidden split over `model` (two psums per layer) while retrieval
+    stays bank-sharded and crops data-sharded — the full (data, bank, model)
+    composition. Post-ViT stages are model-replicated (activations are
+    identical across `model` after the psums); the extractor is ~60% of the
+    step, so this is the standard TP trade, not a schedule bug.
     """
+    import dataclasses
+
     from jax import shard_map
 
     tfidf_config = repre.tfidf_config
     has_pca = repre.raw_projector is not None
+
+    if tensor_parallel:
+        from foundpose_tpu.parallel import tp_vit
+
+        tp_vit.validate_tp(vit_cfg, mesh.shape[tp_vit.MODEL_AXIS])
+        # The fused Pallas block computes a whole layer in one kernel, so the
+        # two mid-layer psums of the TP split cannot be placed inside it.
+        vit_cfg_run = dataclasses.replace(
+            vit_cfg, use_fused_block=False, use_pallas_attention=False
+        )
+        vit_spec = tp_vit.tp_param_specs_from_cfg(vit_cfg)
+    else:
+        vit_cfg_run = vit_cfg
+        vit_spec = P()
 
     def inner(vit_params, crops, masks, cam_f, cam_c, repre_arrays, key):
         (word_centroids, word_idfs, template_descs_local, bank_feats_local,
@@ -143,7 +169,16 @@ def make_sharded_step(
         if masks.dtype != jnp.float32:
             masks = masks.astype(jnp.float32)
         images = dinov2.normalize_images(crops).astype(config.compute_dtype)
-        fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
+        if tensor_parallel:
+            from foundpose_tpu.parallel import tp_vit
+
+            fmaps = tp_vit.tp_extract_local(vit_params, vit_cfg_run, images)[
+                "feature_maps"
+            ]
+        else:
+            fmaps = dinov2.extract_facet(vit_params, vit_cfg_run, images)[
+                "feature_maps"
+            ]
         fmaps = fmaps.astype(jnp.float32)
 
         # Same key derivation as inference.pose_from_features, sliced to this
@@ -250,7 +285,7 @@ def make_sharded_step(
         inner,
         mesh=mesh,
         in_specs=(
-            rep_spec,  # vit params (replicated pytree)
+            vit_spec,  # vit params (replicated, or model-split under TP)
             data_spec,  # crops
             data_spec,  # masks
             data_spec,  # cam_f

@@ -1,0 +1,201 @@
+"""Tensor-parallel ViT: equivalence vs the single-device forward on the
+8-device virtual CPU mesh, plus collective-schedule assertions."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from foundpose_tpu.models import dinov2
+from foundpose_tpu.parallel import tp_vit
+from foundpose_tpu.parallel.mesh import DATA_AXIS
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        variant="vits14", embed_dim=64, depth=3, num_heads=4, mlp_ratio=4.0,
+        swiglu=False, patch_size=14, num_register_tokens=4, pos_grid=6,
+        stride=14, facet="token", layer=2, apply_norm=True,
+        use_fused_block=False, use_pallas_attention=False,
+    )
+    base.update(kw)
+    return dinov2.DinoV2Config(**base)
+
+
+def tp_mesh(data, model):
+    devs = np.asarray(jax.devices()[: data * model]).reshape(data, model)
+    return Mesh(devs, (DATA_AXIS, tp_vit.MODEL_AXIS))
+
+
+def _reference_extract(cfg, params, images):
+    images_n = dinov2.normalize_images(images).astype(jnp.float32)
+    return dinov2.extract_facet(params, cfg, images_n)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 4)])
+@pytest.mark.parametrize("facet", ["token", "key"])
+def test_tp_matches_single_device(rng, shape, facet):
+    cfg = tiny_cfg(facet=facet)
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    b = 4
+    images = jnp.asarray(rng.uniform(size=(b, 84, 84, 3)).astype(np.float32))
+
+    ref = _reference_extract(cfg, params, images)
+
+    mesh = tp_mesh(*shape)
+    params_tp = tp_vit.shard_tp_params(tp_vit.prepare_tp_params(params, cfg), mesh)
+    extract = tp_vit.make_tp_extractor(mesh, cfg)
+    out = jax.jit(extract)(params_tp, images)
+
+    np.testing.assert_allclose(
+        np.asarray(out["feature_maps"]), np.asarray(ref["feature_maps"]),
+        rtol=0, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["cls_tokens"]), np.asarray(ref["cls_tokens"]),
+        rtol=0, atol=2e-5,
+    )
+    # Outputs stay sharded over the data axis (a size-1 axis is normalized
+    # away to a replicated spec).
+    if shape[0] > 1:
+        assert out["feature_maps"].sharding.spec[0] == DATA_AXIS
+
+
+def test_tp_swiglu_matches_single_device(rng):
+    cfg = tiny_cfg(swiglu=True, facet="token")
+    params = dinov2.init_params(jax.random.PRNGKey(1), cfg)
+    images = jnp.asarray(rng.uniform(size=(2, 84, 84, 3)).astype(np.float32))
+    ref = _reference_extract(cfg, params, images)
+
+    mesh = tp_mesh(2, 4)
+    params_tp = tp_vit.shard_tp_params(tp_vit.prepare_tp_params(params, cfg), mesh)
+    out = jax.jit(tp_vit.make_tp_extractor(mesh, cfg))(params_tp, images)
+    np.testing.assert_allclose(
+        np.asarray(out["feature_maps"]), np.asarray(ref["feature_maps"]),
+        rtol=0, atol=2e-5,
+    )
+
+
+def test_tp_param_placement():
+    cfg = tiny_cfg()
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = tp_mesh(2, 4)
+    params_tp = tp_vit.shard_tp_params(tp_vit.prepare_tp_params(params, cfg), mesh)
+    blocks = params_tp["blocks"]
+    # Head axis split 4-ways: each shard holds nh/4 heads.
+    assert blocks["qkv_kernel"].sharding.spec[3] == tp_vit.MODEL_AXIS
+    assert blocks["proj_kernel"].sharding.spec[1] == tp_vit.MODEL_AXIS
+    assert blocks["fc1_kernel"].sharding.spec[2] == tp_vit.MODEL_AXIS
+    assert blocks["norm1_scale"].sharding.spec == ()
+    assert params_tp["patch_kernel"].sharding.spec == ()
+
+
+def test_tp_hlo_has_two_psums_per_layer(rng):
+    """The compiled SPMD program must carry exactly the Megatron collective
+    schedule: one all-reduce after the attention projection and one after the
+    MLP down-projection, per layer (they appear once inside the scanned-block
+    while loop body)."""
+    cfg = tiny_cfg()
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = tp_mesh(2, 4)
+    params_tp = tp_vit.shard_tp_params(tp_vit.prepare_tp_params(params, cfg), mesh)
+    images = jnp.zeros((2, 84, 84, 3), jnp.float32)
+    extract = tp_vit.make_tp_extractor(mesh, cfg)
+    compiled = jax.jit(extract).lower(params_tp, images).compile()
+    hlo = compiled.as_text()
+    n_allreduce = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
+    assert n_allreduce >= 2, hlo[:2000]
+
+
+def test_tp_validation_rejects_bad_widths():
+    cfg = tiny_cfg(num_heads=6)  # 6 heads not divisible by 4
+    with pytest.raises(ValueError):
+        tp_vit.validate_tp(cfg, 4)
+
+
+@pytest.mark.parametrize("swiglu", [False, True])
+def test_tp_param_specs_from_cfg_matches_param_tree(swiglu):
+    """The cfg-derived spec pytree (used by make_sharded_step, which fixes
+    in_specs before any params exist) must mirror the real param key set."""
+    cfg = tiny_cfg(swiglu=swiglu)
+    params_tp = tp_vit.prepare_tp_params(
+        dinov2.init_params(jax.random.PRNGKey(0), cfg), cfg
+    )
+    from_tree = tp_vit.tp_param_specs(params_tp)
+    from_cfg = tp_vit.tp_param_specs_from_cfg(cfg)
+    assert jax.tree.structure(
+        from_tree, is_leaf=lambda x: x is None
+    ) == jax.tree.structure(from_cfg, is_leaf=lambda x: x is None)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a == b, from_tree, from_cfg)
+    )
+
+
+def test_tp_composed_step_matches_bank_sharded_step(rng):
+    """The 3-axis (data, bank, model) composed step (TP ViT + bank-sharded
+    retrieval) must agree with the 2-axis (data, bank) step on the same
+    inputs — the TP split only reassociates the per-layer sums."""
+    import __graft_entry__ as ge
+    from foundpose_tpu.parallel import mesh as mesh_mod
+    from foundpose_tpu.parallel.sharded_inference import make_sharded_step
+    from foundpose_tpu.pipeline import inference
+    from foundpose_tpu.structs import PinholeCamera
+
+    cfg = tiny_cfg()
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    repre = ge._realistic_repre(
+        np.random.default_rng(0), num_templates=16, fmax=128,
+        feat_dim=32, num_words=64, raw_dim=64,
+    )
+    b, hw = 4, 84
+    crops = jnp.asarray(rng.uniform(size=(b, hw, hw, 3)).astype(np.float32))
+    masks = jnp.ones((b, hw, hw), jnp.float32)
+    cameras = PinholeCamera(
+        f=jnp.tile(jnp.asarray([[100.0, 100.0]]), (b, 1)),
+        c=jnp.tile(jnp.asarray([[41.5, 41.5]]), (b, 1)),
+        T_world_from_eye=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        width=hw,
+        height=hw,
+    )
+    config = inference.InferenceConfig(
+        crop_size=(hw, hw), grid_cell_size=14.0, top_n_templates=3,
+        top_k_buddies=16, pnp_ransac_iter=50, lm_iters=3,
+    )
+    key = jax.random.PRNGKey(1)
+
+    m2 = mesh_mod.make_mesh(shape=(2, 2), devices=jax.devices()[:4])
+    step2 = make_sharded_step(m2, cfg, config, mesh_mod.shard_repre(repre, m2))
+    out2 = step2(
+        params,
+        jax.device_put(crops, mesh_mod.crop_sharding(m2)),
+        jax.device_put(masks, mesh_mod.crop_sharding(m2)),
+        cameras, key,
+    )
+
+    m3 = mesh_mod.make_mesh(shape=(2, 2, 2))
+    params_tp = tp_vit.shard_tp_params(tp_vit.prepare_tp_params(params, cfg), m3)
+    step3 = make_sharded_step(
+        m3, cfg, config, mesh_mod.shard_repre(repre, m3), tensor_parallel=True
+    )
+    out3 = step3(
+        params_tp,
+        jax.device_put(crops, mesh_mod.crop_sharding(m3)),
+        jax.device_put(masks, mesh_mod.crop_sharding(m3)),
+        cameras, key,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(out2.template_ids), np.asarray(out3.template_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out2.best_template), np.asarray(out3.best_template)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.R_m2c), np.asarray(out3.R_m2c), atol=1e-3, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.t_m2c), np.asarray(out3.t_m2c), atol=1e-2, rtol=0
+    )
