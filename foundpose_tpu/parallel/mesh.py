@@ -40,8 +40,11 @@ def make_mesh(
                 bank = cand
                 break
         shape = (n // bank, bank)
+    need = int(np.prod(shape))
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
     axes = (DATA_AXIS, BANK_AXIS, MODEL_AXIS)[: len(shape)]
-    arr = np.asarray(devices).reshape(shape)
+    arr = np.asarray(devices[:need]).reshape(shape)
     return Mesh(arr, axes)
 
 
@@ -66,9 +69,10 @@ def shard_repre(repre, mesh: Mesh):
     rep = replicated(mesh)
 
     def place(x, sharding):
-        return jax.device_put(x, sharding)
+        return jax.device_put(x, sharding) if x is not None else None
 
     return repre.replace(
+        template_mask=place(repre.template_mask, bank),
         template_descs=place(repre.template_descs, bank),
         bank_feats=place(repre.bank_feats, bank),
         bank_vertices=place(repre.bank_vertices, bank),

@@ -161,8 +161,9 @@ def make_sharded_step(
         vit_spec = P()
 
     def inner(vit_params, crops, masks, cam_f, cam_c, repre_arrays, key):
-        (word_centroids, word_idfs, template_descs_local, bank_feats_local,
-         bank_vertices_local, bank_mask_local, raw_projector) = repre_arrays
+        (word_centroids, word_idfs, template_descs_local, template_valid_local,
+         bank_feats_local, bank_vertices_local, bank_mask_local,
+         raw_projector) = repre_arrays
 
         if crops.dtype == jnp.uint8:
             crops = crops.astype(jnp.float32) / 255.0
@@ -210,6 +211,7 @@ def make_sharded_step(
             template_ids, template_scores = _retrieve_sharded(
                 feats, validf, word_centroids, word_idfs,
                 template_descs_local, config.top_n_templates, tfidf_config,
+                template_mask_local=template_valid_local,
             )
             sel_feats, sel_verts, sel_mask = _fetch_banks(
                 template_ids, bank_feats_local, bank_vertices_local,
@@ -291,17 +293,24 @@ def make_sharded_step(
             data_spec,  # cam_f
             data_spec,  # cam_c
             (rep_spec, rep_spec, bank_spec, bank_spec, bank_spec, bank_spec,
-             rep_spec),
+             bank_spec, rep_spec),
             rep_spec,  # key
         ),
         out_specs=data_spec,
         check_vma=False,
     )
 
+    # Pad-row validity (repre.pad_templates marks templates added for even
+    # bank splits); all-true when the repre carries no mask.
+    template_valid = repre.template_mask
+    if template_valid is None:
+        template_valid = jnp.ones((repre.template_descs.shape[0],), bool)
+
     @jax.jit
     def step(vit_params, crops, masks, cameras: PinholeCamera, key):
         repre_arrays = (
             repre.word_centroids, repre.word_idfs, repre.template_descs,
+            template_valid,
             repre.bank_feats, repre.bank_vertices, repre.bank_mask,
             repre.raw_projector,
         )

@@ -116,6 +116,15 @@ class InferOpts:
     shard_index: int = 0
     shard_count: int = 1
 
+    # Multi-CHIP execution (parallel/sharded_inference.py; no reference
+    # counterpart): shape of a (data, bank) or (data, bank, model) device
+    # mesh over jax.devices(). None = single-chip jitted path. Crops shard
+    # over `data` (batch_size must divide the data axis), each object's
+    # template bank over `bank` (padded to an even split via
+    # repre.pad_templates), and with a 3rd axis the ViT runs
+    # tensor-parallel (parallel/tp_vit.py; single-object path only).
+    mesh_shape: Optional[Tuple[int, ...]] = None
+
     # Injection seams (no reference counterpart): `vit_overrides` patches
     # fields of the parsed DinoV2Config (dataclasses.replace semantics,
     # e.g. {"embed_dim": 32, "depth": 2} for tiny test ViTs or
@@ -661,6 +670,41 @@ def finalize_object_results(
     logger.info(f"Summary for object {lid}: {evaluator.summary()}")
 
 
+def _build_mesh(opts: InferOpts):
+    """Builds the chip mesh for opts.mesh_shape and validates the batch."""
+    from foundpose_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(shape=tuple(opts.mesh_shape))
+    data = mesh.shape[mesh_mod.DATA_AXIS]
+    if opts.batch_size % data:
+        raise ValueError(
+            f"batch_size={opts.batch_size} must divide the data axis "
+            f"({data}) of mesh_shape={opts.mesh_shape}"
+        )
+    logger.info(f"Multi-chip mesh: {dict(mesh.shape)}")
+    return mesh
+
+
+def _make_mesh_object_step(mesh, vit_cfg, config, repre, vit_params):
+    """Shards one object's repre on the mesh and returns
+    (step(params, crops, masks, cams, key), placed params). With a `model`
+    axis the ViT weights are factored + split tensor-parallel."""
+    from foundpose_tpu.parallel import mesh as mesh_mod
+    from foundpose_tpu.parallel import tp_vit
+    from foundpose_tpu.parallel.sharded_inference import make_sharded_step
+    from foundpose_tpu.repre import pad_templates
+
+    bank = mesh.shape[mesh_mod.BANK_AXIS]
+    repre_s = mesh_mod.shard_repre(pad_templates(repre, bank), mesh)
+    tp = mesh_mod.MODEL_AXIS in mesh.axis_names
+    step = make_sharded_step(mesh, vit_cfg, config, repre_s, tensor_parallel=tp)
+    if tp:
+        vit_params = tp_vit.shard_tp_params(
+            tp_vit.prepare_tp_params(vit_params, vit_cfg), mesh
+        )
+    return step, vit_params
+
+
 def infer(opts: InferOpts) -> Dict[int, int]:
     """Runs inference; returns {object_lid: instances processed} (estimates
     written to disk may be fewer — only successful solves are serialized,
@@ -695,7 +739,10 @@ def infer(opts: InferOpts) -> Dict[int, int]:
         refine_featuremetric=opts.refine_featuremetric,
         compute_dtype=getattr(jnp_mod, opts.compute_dtype),
     )
-    step = inference.jit_pose_from_crops(vit_cfg, config)
+    mesh = _build_mesh(opts) if opts.mesh_shape else None
+    step = None if mesh is not None else inference.jit_pose_from_crops(
+        vit_cfg, config
+    )
     warp_batch = make_warp_fn(opts.crop_size)
 
     all_dets = (
@@ -738,15 +785,35 @@ def infer(opts: InferOpts) -> Dict[int, int]:
 
         # Gather (scene, image) pairs: from detections, or from GT annotations
         # when use_detections=False (reference: infer_pose_util.py:140-149).
-        def dispatch_one(s, padded, _repre=repre):
-            crops = jnp_mod.asarray(np.stack([p.crop_image for p in padded]))
-            masks = jnp_mod.asarray(np.stack([p.crop_mask for p in padded]))
-            cams = jax.tree.map(
-                lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
+        if mesh is not None:
+            from foundpose_tpu.parallel.mesh import crop_sharding
+
+            mesh_step, mesh_params = _make_mesh_object_step(
+                mesh, vit_cfg, config, repre, vit_params
             )
-            return step(
-                vit_params, crops, masks, cams, _repre, jax.random.PRNGKey(s)
-            )
+            crop_shd = crop_sharding(mesh)
+
+            def dispatch_one(s, padded, _step=mesh_step, _params=mesh_params):
+                crops = jax.device_put(
+                    np.stack([p.crop_image for p in padded]), crop_shd
+                )
+                masks = jax.device_put(
+                    np.stack([p.crop_mask for p in padded]), crop_shd
+                )
+                cams = jax.tree.map(
+                    lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
+                )
+                return _step(_params, crops, masks, cams, jax.random.PRNGKey(s))
+        else:
+            def dispatch_one(s, padded, _repre=repre):
+                crops = jnp_mod.asarray(np.stack([p.crop_image for p in padded]))
+                masks = jnp_mod.asarray(np.stack([p.crop_mask for p in padded]))
+                cams = jax.tree.map(
+                    lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
+                )
+                return step(
+                    vit_params, crops, masks, cams, _repre, jax.random.PRNGKey(s)
+                )
 
         runner = BatchRunner(opts.batch_size, dispatch_one)
         if opts.use_detections:
@@ -879,7 +946,16 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
         refine_featuremetric=opts.refine_featuremetric,
         compute_dtype=getattr(jnp_mod, opts.compute_dtype),
     )
-    step = mo.jit_pose_from_crops_multi(vit_cfg, config)
+    mesh = _build_mesh(opts) if opts.mesh_shape else None
+    if mesh is not None and len(opts.mesh_shape) > 2:
+        raise ValueError(
+            "tensor-parallel (3-axis mesh_shape) is only supported on the "
+            "single-object path; use mesh_shape=(data, bank) with "
+            "multi_object=True"
+        )
+    step = None if mesh is not None else mo.jit_pose_from_crops_multi(
+        vit_cfg, config
+    )
     warp_batch = make_warp_fn(opts.crop_size)
 
     all_dets = (
@@ -932,19 +1008,53 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
     if sc > 1:
         logger.info(f"Dataset shard {si}/{sc} (host-level round-robin).")
     image_keys = host_shard.shard_keys(image_keys, si, sc)
-    def dispatch_one(s, padded):
-        crops = jnp_mod.asarray(np.stack([p.crop_image for p in padded]))
-        masks = jnp_mod.asarray(np.stack([p.crop_mask for p in padded]))
-        cams = jax.tree.map(
-            lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
+    if mesh is not None:
+        from foundpose_tpu.parallel import mesh as mesh_mod
+        from foundpose_tpu.parallel.sharded_inference import (
+            make_sharded_step_multi,
         )
-        obj_idx = jnp_mod.asarray(
-            [obj_to_idx[p.obj_id] for p in padded], dtype=jnp_mod.int32
+        from foundpose_tpu.repre import pad_templates
+
+        bank = mesh.shape[mesh_mod.BANK_AXIS]
+        multi_sharded = mesh_mod.shard_repre_multi(
+            pad_templates(multi_repre, bank), mesh
         )
-        return step(
-            vit_params, crops, masks, cams, obj_idx, multi_repre,
-            jax.random.PRNGKey(s),
-        )
+        mesh_step = make_sharded_step_multi(mesh, vit_cfg, config, multi_sharded)
+        crop_shd = mesh_mod.crop_sharding(mesh)
+
+        def dispatch_one(s, padded):
+            crops = jax.device_put(
+                np.stack([p.crop_image for p in padded]), crop_shd
+            )
+            masks = jax.device_put(
+                np.stack([p.crop_mask for p in padded]), crop_shd
+            )
+            cams = jax.tree.map(
+                lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
+            )
+            obj_idx = jax.device_put(
+                np.asarray(
+                    [obj_to_idx[p.obj_id] for p in padded], dtype=np.int32
+                ),
+                crop_shd,
+            )
+            return mesh_step(
+                vit_params, crops, masks, cams, obj_idx, jax.random.PRNGKey(s)
+            )
+    else:
+        def dispatch_one(s, padded):
+            crops = jnp_mod.asarray(np.stack([p.crop_image for p in padded]))
+            masks = jnp_mod.asarray(np.stack([p.crop_mask for p in padded]))
+            cams = jax.tree.map(
+                lambda *x: jnp_mod.stack(x), *[p.crop_camera for p in padded]
+            )
+            obj_idx = jnp_mod.asarray(
+                [obj_to_idx[p.obj_id] for p in padded], dtype=jnp_mod.int32
+            )
+            return step(
+                vit_params, crops, masks, cams, obj_idx, multi_repre,
+                jax.random.PRNGKey(s),
+            )
 
     runner = BatchRunner(opts.batch_size, dispatch_one)
 

@@ -310,6 +310,46 @@ def stack_repres(repres) -> "ObjectRepre":
     )
 
 
+def pad_templates(repre: ObjectRepre, multiple: int) -> ObjectRepre:
+    """Pads the template axis up to a multiple of `multiple` so the
+    template-major bank arrays shard evenly over the `bank` mesh axis
+    (parallel/mesh.shard_repre + sharded_inference; shard_map needs even
+    splits). Pad rows get template_mask=False, so retrieval masks them to
+    -inf and they are never selected.
+
+    Works on single-object ([T, ...]) and stacked multi-object ([O, T, ...])
+    repres (template axis 0 / 1). Cameras are edge-replicated (never read
+    for pad rows, but zero intrinsics would be a trap for host-side code).
+    """
+    axis = int(repre.template_descs.ndim) - 2  # 0 = single, 1 = multi
+    t = repre.template_descs.shape[axis]
+    t_pad = -(-t // multiple) * multiple
+
+    def pad(a, mode="constant"):
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, t_pad - t)
+        return jnp.pad(jnp.asarray(a), pads, mode=mode)
+
+    tmask = repre.template_mask
+    if tmask is None:
+        shape = repre.template_descs.shape[: axis + 1]
+        tmask = jnp.ones(shape, dtype=bool)
+    if t_pad == t:
+        return repre if repre.template_mask is not None else repre.replace(
+            template_mask=tmask
+        )
+    return repre.replace(
+        template_descs=pad(repre.template_descs),
+        bank_feats=pad(repre.bank_feats),
+        bank_vertices=pad(repre.bank_vertices),
+        bank_mask=pad(repre.bank_mask),
+        template_mask=pad(tmask),  # zero-pads to False
+        template_cameras=jax.tree.map(
+            lambda a: pad(a, mode="edge"), repre.template_cameras
+        ),
+    )
+
+
 def load_torch_repre(repre_path: str) -> ObjectRepre:
     """Imports a reference `repre.pth` (torch pickle) for parity testing.
 
