@@ -171,9 +171,15 @@ def warp_depth_image(
     )
 
 
-@functools.lru_cache(maxsize=None)
 def make_single_image_warp(crop_size):
     """Factory for a jitted warp of ONE image into many crop cameras.
+    Accepts any (w, h) sequence; see _make_single_image_warp."""
+    return _make_single_image_warp(tuple(crop_size))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_single_image_warp(crop_size):
+    """Memoized factory for a jitted warp of ONE image into many crop cameras.
 
     The image and the source camera are plain (traced) arguments and only the
     per-detection masks/destination cameras are batched under vmap, so no

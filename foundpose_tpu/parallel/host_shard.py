@@ -90,6 +90,23 @@ def sharded_name(basename: str, shard_index: int, shard_count: int) -> str:
     return f"{stem}{shard_suffix(shard_index, shard_count)}{ext}"
 
 
+def write_empty_shard_sentinel(
+    object_dir: str, shard_index: int, shard_count: int
+) -> str:
+    """Marks an EMPTY shard completed: writes the `[]` estimated-poses file
+    that load_object_estimates below counts toward shard-set completeness
+    (and that resume=True treats as done). Writer and reader live in this
+    module so the sentinel contract cannot drift between the two infer
+    drivers. Returns the path written."""
+    path = os.path.join(
+        object_dir, sharded_name(POSES_BASENAME, shard_index, shard_count)
+    )
+    os.makedirs(object_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write("[]")
+    return path
+
+
 def load_object_estimates(object_dir: str) -> Tuple[List[Dict[str, Any]], List[str]]:
     """Loads an object's pose records: either the unsharded
     ``estimated-poses.json`` or a COMPLETE, SINGLE-count set of

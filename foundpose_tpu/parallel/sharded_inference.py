@@ -252,7 +252,7 @@ def make_sharded_step(
             # implementation (inference.refine_winner) used by all four
             # variants; the banks were already collectively fetched, so the
             # winner_bank closure just indexes them.
-            r_best, t_best = inference_mod.refine_winner(
+            r_best, t_best, count_best = inference_mod.refine_winner(
                 r_best, t_best, inliers_best, results.quality[best],
                 c2d[best], c3d[best], cvalid[best], kf, kc, config,
                 fmap=fmap,
@@ -269,9 +269,12 @@ def make_sharded_step(
                 num_query_points=num_grid,
                 inlier_radius=config.pnp_inlier_thresh,
             )
+            # Post-refit success/quality (inference.refine_winner docstring).
+            success_best = count_best >= 6.0
             return (
-                results.success[best], r_best, t_best,
-                quality[best], score, template_ids, template_scores,
+                success_best, r_best, t_best,
+                jnp.where(success_best, count_best, -1.0), score,
+                template_ids, template_scores,
                 template_ids[best], results.quality, jnp.sum(validf),
                 c2d[best], c2d_ids[best], c3d[best], cconf[best],
                 cvalid[best],
@@ -440,7 +443,7 @@ def make_sharded_step_multi(
             # Winner-only LO-RANSAC + LM + featuremetric — the shared
             # implementation (inference.refine_winner) used by all four
             # variants.
-            r_best, t_best = inference_mod.refine_winner(
+            r_best, t_best, count_best = inference_mod.refine_winner(
                 r_best, t_best, inliers_best, results.quality[best],
                 c2d[best], c3d[best], cvalid[best], kf, kc, config,
                 fmap=fmap,
@@ -456,9 +459,12 @@ def make_sharded_step_multi(
                 cvalid[best], kf, kc, num_query_points=num_grid,
                 inlier_radius=config.pnp_inlier_thresh,
             )
+            # Post-refit success/quality (inference.refine_winner docstring).
+            success_best = count_best >= 6.0
             return (
-                results.success[best], r_best, t_best,
-                quality[best], score, template_ids, template_scores,
+                success_best, r_best, t_best,
+                jnp.where(success_best, count_best, -1.0), score,
+                template_ids, template_scores,
                 template_ids[best], results.quality, jnp.sum(validf),
                 c2d[best], c2d_ids[best], c3d[best], cconf[best],
                 cvalid[best],

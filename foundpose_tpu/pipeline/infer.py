@@ -190,12 +190,17 @@ def prepare_instance_crops(
     # (same as the reference's cv2.remap on uint8, scripts/infer.py:438-449)
     # and pose_from_crops normalizes on device — 4x less host<->device
     # traffic for the image, crops and masks than the old f32 flow.
-    image = (
-        sample.image
-        if sample.image.dtype == np.uint8
-        # round (not truncate) for parity with the warp's own re-quantization
-        else np.clip(np.round(sample.image * 255.0), 0, 255).astype(np.uint8)
-    )
+    if sample.image.dtype == np.uint8:
+        image = sample.image
+    else:
+        # Float images: accept both the [0, 1] and raw [0, 255] conventions
+        # (bop.prepare_sample always yields uint8; this branch is for
+        # programmatic callers). Round (not truncate) for parity with the
+        # warp's own re-quantization.
+        imf = np.asarray(sample.image, dtype=np.float32)
+        if imf.size and float(imf.max()) > 1.0:
+            imf = imf / 255.0
+        image = np.clip(np.round(imf * 255.0), 0, 255).astype(np.uint8)
 
     crop_cams = []
     kept = []
@@ -608,9 +613,15 @@ def finalize_object_results(
         tpl_r_m2c = None
         if p.gt is not None:
             tids = np.asarray(r["template_ids"], dtype=int).reshape(-1)
-            tpl_r_m2c = np.stack(
-                [np.linalg.inv(cam_t_np[tid])[:3, :3] for tid in tids]
-            )
+            # Mesh runs retrieve against a PADDED bank (repre.pad_templates);
+            # pad rows score -inf and never win, but their ids can appear in
+            # the retrieved top-n — drop them before indexing the unpadded
+            # repre's cameras.
+            tids = tids[(tids >= 0) & (tids < cam_t_np.shape[0])]
+            if tids.size:
+                tpl_r_m2c = np.stack(
+                    [np.linalg.inv(cam_t_np[tid])[:3, :3] for tid in tids]
+                )
         evaluator.update(
             scene_id=p.scene_id, im_id=p.im_id, inst_id=p.inst_id,
             hypothesis_id=0, obj_id=p.obj_id,
@@ -678,8 +689,8 @@ def _build_mesh(opts: InferOpts):
     data = mesh.shape[mesh_mod.DATA_AXIS]
     if opts.batch_size % data:
         raise ValueError(
-            f"batch_size={opts.batch_size} must divide the data axis "
-            f"({data}) of mesh_shape={opts.mesh_shape}"
+            f"the data axis ({data}) of mesh_shape={opts.mesh_shape} must "
+            f"divide batch_size={opts.batch_size}"
         )
     logger.info(f"Multi-chip mesh: {dict(mesh.shape)}")
     return mesh
@@ -876,13 +887,12 @@ def infer(opts: InferOpts) -> Dict[int, int]:
             # Unsharded: write nothing (an empty estimated-poses.json would
             # make resume=True treat a failed object as completed). Sharded:
             # an empty shard is a legitimate outcome (its images fell on the
-            # other shards), and writing the empty file both marks the shard
-            # done for resume AND lets load_object_estimates verify the
-            # shard set is complete before merging a submission.
+            # other shards) — mark it done via the host_shard sentinel so
+            # load_object_estimates can verify shard-set completeness.
             if sc > 1 and opts.save_estimates:
-                os.makedirs(os.path.dirname(out_json), exist_ok=True)
-                with open(out_json, "w") as f:
-                    f.write("[]")
+                host_shard.write_empty_shard_sentinel(
+                    os.path.dirname(out_json), si, sc
+                )
             continue
 
         diameter = float(info["diameter"]) if "diameter" in info else None
@@ -1113,18 +1123,18 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
         # Match the single-object driver: objects with no processed instances
         # write nothing when unsharded (an empty estimated-poses.json would
         # otherwise make a later resume=True run treat the object as
-        # completed); a SHARD with no instances does write its empty file so
-        # the submission merger can verify the shard set is complete.
+        # completed); a SHARD with no instances is marked done via the
+        # host_shard sentinel so the submission merger can verify the shard
+        # set is complete.
         if not results_by_lid[lid]:
             if sc > 1 and opts.save_estimates:
-                out_json = os.path.join(
-                    opts.output_dir, opts.object_dataset, opts.version,
-                    str(lid),
-                    host_shard.sharded_name("estimated-poses.json", si, sc),
+                host_shard.write_empty_shard_sentinel(
+                    os.path.join(
+                        opts.output_dir, opts.object_dataset, opts.version,
+                        str(lid),
+                    ),
+                    si, sc,
                 )
-                os.makedirs(os.path.dirname(out_json), exist_ok=True)
-                with open(out_json, "w") as f:
-                    f.write("[]")
             continue
         pts, sym_r, sym_t, model = obj_meta[lid]
         info = models_info.get(lid, {})

@@ -252,7 +252,13 @@ def refine_winner(
             when config.refine_featuremetric — callers that gather the bank
             lazily pay nothing otherwise.
 
-    Returns (r_best, t_best).
+    Returns (r_best, t_best, count_best): the refined pose plus the
+    POST-LO base-threshold inlier count, so callers report success/quality
+    for the pose they actually emit. cv2's SOLVEPNP_ITERATIVE polishes
+    inside RANSAC, so the reference's success is effectively post-polish
+    too — a crop rescued by LO (pre-refit count < 6, post-refit >= 6)
+    must count as a success (pnp_util.py:46-79). lo_refine is monotone in
+    base-threshold count, so this can only flip failures to successes.
     """
     c2d32 = c2d.astype(jnp.float32)
     c3d32 = c3d.astype(jnp.float32)
@@ -262,7 +268,7 @@ def refine_winner(
     # like LM, local optimization runs once, not top_n times (running it
     # per-template measured 6.3% end-to-end).
     if config.pnp_lo_iters > 0:
-        r_best, t_best, inliers_best, _ = pnp_mod.lo_refine(
+        r_best, t_best, inliers_best, count_best = pnp_mod.lo_refine(
             r_best, t_best, c2d32, c3d32, cvalid, cam_f, cam_c,
             inlier_thresh=config.pnp_inlier_thresh,
             iters=config.pnp_lo_iters,
@@ -300,7 +306,7 @@ def refine_winner(
             iters=config.featuremetric_iters,
         )
 
-    return r_best, t_best
+    return r_best, t_best, count_best
 
 
 def solve_batch(
@@ -354,7 +360,7 @@ def solve_batch(
         # Winner-only LO-RANSAC + LM + featuremetric — the shared
         # implementation (refine_winner above) used by all four variants.
         best_tid = template_ids[best]
-        r_best, t_best = refine_winner(
+        r_best, t_best, count_best = refine_winner(
             r_best, t_best, inliers_best, results.quality[best],
             cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
             cam_f, cam_c, config,
@@ -385,11 +391,14 @@ def solve_batch(
             inlier_radius=config.pnp_inlier_thresh,
         )
 
+        # Success/quality are POST-refit (refine_winner docstring): LO can
+        # rescue a sub-6-inlier winner exactly like cv2's internal polish.
+        success_best = count_best >= 6.0
         return (
-            results.success[best],
+            success_best,
             r_best,
             t_best,
-            quality[best],
+            jnp.where(success_best, count_best, -1.0),
             score,
             template_ids,
             template_scores,
@@ -517,16 +526,41 @@ def pose_from_crops(
     return pose_from_features(feature_maps, masks, cameras, repre, key, config)
 
 
-@functools.lru_cache(maxsize=None)
+def pallas_interpret_token() -> bool:
+    """Whether a `pltpu.force_tpu_interpret_mode()` context is active.
+
+    Traces capture the interpret context, so a step memoized under interpret
+    mode must not be served to compiled-mode callers (or vice versa) — the
+    jit-factory memo caches below fold this into their key. Falls back to
+    False if the (private) config state moves in a jax upgrade, which only
+    costs the cache split, not correctness of fresh processes."""
+    try:
+        from jax._src import config as _jax_config
+
+        return (
+            _jax_config.pallas_tpu_interpret_mode_context_manager.value
+            is not None
+        )
+    except Exception:
+        return False
+
+
 def jit_pose_from_crops(vit_cfg: dinov2.DinoV2Config, config: InferenceConfig):
     """Returns the jitted end-to-end step with static configs closed over.
 
-    Memoized on the (frozen, hashable) configs: repeated calls — one engine
-    per request, repeated infer() runs in one process, the CLI bench's
-    warm/timed passes — get the SAME jitted callable, so jax's executable
-    cache is hit instead of re-tracing and re-compiling a fresh closure
-    (a full recompile costs minutes on remote-compile backends)."""
+    Memoized on the (frozen, hashable) configs plus the interpret context
+    (pallas_interpret_token): repeated calls — one engine per request,
+    repeated infer() runs in one process, the CLI bench's warm/timed passes
+    — get the SAME jitted callable, so jax's executable cache is hit instead
+    of re-tracing and re-compiling a fresh closure (a full recompile costs
+    minutes on remote-compile backends)."""
+    return _jit_pose_from_crops(vit_cfg, config, pallas_interpret_token())
 
+
+@functools.lru_cache(maxsize=None)
+def _jit_pose_from_crops(
+    vit_cfg: dinov2.DinoV2Config, config: InferenceConfig, _interp: bool
+):
     @jax.jit
     def step(vit_params, crops, masks, cameras, repre, key):
         return pose_from_crops(

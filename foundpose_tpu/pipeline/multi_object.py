@@ -119,7 +119,7 @@ def pose_from_features_multi(
         # Winner-only LO-RANSAC + LM + featuremetric — the shared
         # implementation (inference.refine_winner) used by all four variants.
         best_tid = template_ids[best]
-        r_best, t_best = refine_winner(
+        r_best, t_best, count_best = refine_winner(
             r_best, t_best, inliers_best, results.quality[best],
             cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
             cam_f, cam_c, config,
@@ -139,9 +139,12 @@ def pose_from_features_multi(
             cam_f, cam_c, num_query_points=num_grid,
             inlier_radius=config.pnp_inlier_thresh,
         )
+        # Post-refit success/quality (see inference.refine_winner docstring).
+        success_best = count_best >= 6.0
         return (
-            results.success[best], r_best, t_best,
-            quality[best], score, template_ids, template_scores,
+            success_best, r_best, t_best,
+            jnp.where(success_best, count_best, -1.0), score,
+            template_ids, template_scores,
             template_ids[best], results.quality, jnp.sum(validf),
             cors.coord_2d[best], cors.coord_2d_ids[best], cors.coord_3d[best],
             cors.coord_conf[best], cors.valid[best],
@@ -174,11 +177,19 @@ def pose_from_features_multi(
     )
 
 
-@functools.lru_cache(maxsize=None)
 def jit_pose_from_crops_multi(vit_cfg: dinov2.DinoV2Config, config: InferenceConfig):
     """Jitted image->pose step over mixed-object batches. Memoized like
-    inference.jit_pose_from_crops (same uint8-crop contract)."""
+    inference.jit_pose_from_crops (same uint8-crop contract; the memo key
+    includes the Pallas interpret context, see pallas_interpret_token)."""
+    from foundpose_tpu.pipeline.inference import pallas_interpret_token
 
+    return _jit_pose_from_crops_multi(vit_cfg, config, pallas_interpret_token())
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pose_from_crops_multi(
+    vit_cfg: dinov2.DinoV2Config, config: InferenceConfig, _interp: bool
+):
     @jax.jit
     def step(vit_params, crops, masks, cameras, obj_idx, multi_repre, key):
         if crops.dtype == jnp.uint8:

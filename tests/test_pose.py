@@ -438,3 +438,51 @@ def test_ransac_lo_beats_raw_dlt_on_outlier_heavy_sets(rng):
         if float(res_lo.quality) > float(res_raw.quality):
             wins += 1
     assert wins >= trials // 2
+
+
+def test_refine_winner_rescues_subthreshold_winner(rng):
+    """A winner with < 6 base-threshold inliers that LO pulls into the basin
+    must be reported as a SUCCESS (post-refit count), matching cv2's
+    post-polish success semantics (see inference.refine_winner docstring)."""
+    from foundpose_tpu.pipeline.inference import InferenceConfig, refine_winner
+
+    r, t, pts3d, proj, k_f, k_c = synth_pnp_problem(rng, n=40, noise=0.2)
+    # Perturb the pose until most reprojections fall between the base (10 px)
+    # and widened (20 px) thresholds: < 6 base inliers, rescuable by the
+    # widened refit round.
+    c2d = jnp.asarray(proj, jnp.float32)
+    c3d = jnp.asarray(pts3d, jnp.float32)
+    valid = jnp.ones(40, bool)
+    kf = jnp.asarray(k_f, jnp.float32)
+    kc = jnp.asarray(k_c, jnp.float32)
+    for scale in (0.02, 0.03, 0.045, 0.07, 0.1):
+        dr = Rotation.from_rotvec(np.array([1.1, -0.8, 0.6]) * scale).as_matrix()
+        r0 = jnp.asarray(dr @ r, jnp.float32)
+        t0 = jnp.asarray(t, jnp.float32)
+        _, _, inl0, cnt0 = pnp.lo_refine(
+            r0, t0, c2d, c3d, valid, kf, kc, iters=0
+        )
+        _, _, _, cnt_w = pnp.lo_refine(
+            r0, t0, c2d, c3d, valid, kf, kc, inlier_thresh=20.0, iters=0
+        )
+        if float(cnt0) < 6 and float(cnt_w) >= 6:
+            break
+    else:
+        raise AssertionError("could not construct a rescuable perturbation")
+
+    config = InferenceConfig(pnp_lo_iters=2, pnp_refine_lm=False)
+    r_out, t_out, cnt = refine_winner(
+        r0, t0, inl0, cnt0, c2d, c3d, valid, kf, kc, config
+    )
+    assert float(cnt0) < 6  # pre-refit: would have been reported failed
+    assert float(cnt) >= 6  # post-refit: success
+    assert float(geometry.rotation_error_deg(r_out, jnp.asarray(r))) < float(
+        geometry.rotation_error_deg(r0, jnp.asarray(r))
+    )
+
+    # With LO disabled the count passes through unchanged.
+    config0 = InferenceConfig(pnp_lo_iters=0, pnp_refine_lm=False)
+    _, _, cnt_same = refine_winner(
+        r0, t0, inl0, cnt0, c2d, c3d, valid, kf, kc, config0
+    )
+    assert float(cnt_same) == float(cnt0)
