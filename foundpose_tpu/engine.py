@@ -32,6 +32,10 @@ def _make_single_image_warp(crop_size: Tuple[int, int]):
 
 
 class PoseEngine:
+    # Class defaults so engines assembled field-by-field (tests, embedders)
+    # predate the mesh feature gracefully: no mesh unless one is configured.
+    _mesh = None
+
     def __init__(
         self,
         extractor_name: str = (
@@ -42,10 +46,18 @@ class PoseEngine:
         batch_size: int = 16,
         seed: int = 0,
         extractor_overrides: Optional[Dict[str, Any]] = None,
+        mesh_shape: Optional[Tuple[int, ...]] = None,
     ):
         """extractor_overrides: DinoV2Config field overrides, e.g.
         {"use_pallas_attention": True, "use_fused_block": True,
-        "approx_gelu": True} for the fastest TPU serving configuration."""
+        "approx_gelu": True} for the fastest TPU serving configuration.
+
+        mesh_shape: serve from a multi-chip mesh — (data, bank) shards crops
+        over `data` and every object's template bank over `bank`;
+        (data, bank, model) additionally runs the ViT tensor-parallel
+        (parallel/tp_vit.py). The engine batch size must be divisible by the
+        data axis. Same semantics as the infer CLI's InferOpts.mesh_shape.
+        """
         import dataclasses
 
         import jax
@@ -60,7 +72,19 @@ class PoseEngine:
         self.config = config or inference.InferenceConfig()
         self.batch_size = batch_size
         self._repres: Dict[int, ObjectRepre] = {}
-        self._step = inference.jit_pose_from_crops(self.vit_cfg, self.config)
+        if mesh_shape:
+            from foundpose_tpu.parallel import mesh as mesh_mod
+
+            self._mesh = mesh_mod.make_mesh(shape=tuple(mesh_shape))
+            data = self._mesh.shape[mesh_mod.DATA_AXIS]
+            if batch_size % data:
+                raise ValueError(
+                    f"the data axis ({data}) of mesh_shape={mesh_shape} must "
+                    f"divide batch_size={batch_size}"
+                )
+            self._step = None  # per-object mesh steps built lazily
+        else:
+            self._step = inference.jit_pose_from_crops(self.vit_cfg, self.config)
         self._warp_single = _make_single_image_warp(self.config.crop_size)
         self._multi_cache = None
         self._counter = 0
@@ -68,6 +92,26 @@ class PoseEngine:
     def register_object(self, obj_id: int, repre: ObjectRepre) -> None:
         self._repres[obj_id] = repre
         self._multi_cache = None  # invalidate the stacked multi-object step
+        self.__dict__.get("_mesh_steps", {}).pop(obj_id, None)
+
+    def _mesh_object_step(self, obj_id: int):
+        """Lazily builds + caches the sharded step for one object (the placed
+        ViT params are shared across objects and prepared once)."""
+        from foundpose_tpu.parallel.sharded_inference import (
+            make_object_mesh_step,
+            prepare_mesh_vit_params,
+        )
+
+        if "_mesh_params" not in self.__dict__:
+            self._mesh_params = prepare_mesh_vit_params(
+                self._mesh, self.vit_cfg, self.vit_params
+            )
+        steps = self.__dict__.setdefault("_mesh_steps", {})
+        if obj_id not in steps:
+            steps[obj_id] = make_object_mesh_step(
+                self._mesh, self.vit_cfg, self.config, self._repres[obj_id]
+            )
+        return steps[obj_id], self._mesh_params
 
     @property
     def object_ids(self) -> List[int]:
@@ -197,26 +241,67 @@ class PoseEngine:
             image, boxes_xyxy, mask_seq, K
         )
 
-        def step_fn(idx, chunk, batch_cams):
-            self._counter += 1
-            return self._step(
-                self.vit_params, crops[idx], crop_masks[idx], batch_cams,
-                repre, jax.random.PRNGKey(self._counter),
-            )
+        if self._mesh is not None:
+            from foundpose_tpu.parallel.mesh import crop_sharding
+
+            mesh_step, mesh_params = self._mesh_object_step(obj_id)
+            crop_shd = crop_sharding(self._mesh)
+
+            def step_fn(idx, chunk, batch_cams):
+                self._counter += 1
+                return mesh_step(
+                    mesh_params,
+                    jax.device_put(crops[idx], crop_shd),
+                    jax.device_put(crop_masks[idx], crop_shd),
+                    batch_cams, jax.random.PRNGKey(self._counter),
+                )
+        else:
+            def step_fn(idx, chunk, batch_cams):
+                self._counter += 1
+                return self._step(
+                    self.vit_params, crops[idx], crop_masks[idx], batch_cams,
+                    repre, jax.random.PRNGKey(self._counter),
+                )
 
         return self._dispatch_chunks(n, crop_cams, step_fn)
 
     def _multi_step(self):
-        """Lazily builds (obj_id order, stacked repre, jitted mixed step)."""
+        """Lazily builds (obj_id order, stacked repre, jitted mixed step).
+        On a mesh the stacked repre is bank-sharded and baked into the step
+        (same wiring as the infer CLI's multi-object mesh path)."""
         if self._multi_cache is None:
-            from foundpose_tpu.pipeline.multi_object import (
-                jit_pose_from_crops_multi,
-            )
             from foundpose_tpu.repre import stack_repres
 
             order = self.object_ids
             multi = stack_repres([self._repres[o] for o in order])
-            step = jit_pose_from_crops_multi(self.vit_cfg, self.config)
+            if self._mesh is not None:
+                from foundpose_tpu.parallel import mesh as mesh_mod
+                from foundpose_tpu.parallel.sharded_inference import (
+                    make_sharded_step_multi,
+                )
+                from foundpose_tpu.repre import pad_templates
+
+                if mesh_mod.MODEL_AXIS in self._mesh.axis_names:
+                    # Same restriction as the infer CLI: the multi-object
+                    # step has no tensor-parallel extractor variant.
+                    raise ValueError(
+                        "tensor-parallel (3-axis) meshes are only supported "
+                        "by estimate(); use a (data, bank) mesh with "
+                        "estimate_mixed()"
+                    )
+                bank = self._mesh.shape[mesh_mod.BANK_AXIS]
+                multi = mesh_mod.shard_repre_multi(
+                    pad_templates(multi, bank), self._mesh
+                )
+                step = make_sharded_step_multi(
+                    self._mesh, self.vit_cfg, self.config, multi
+                )
+            else:
+                from foundpose_tpu.pipeline.multi_object import (
+                    jit_pose_from_crops_multi,
+                )
+
+                step = jit_pose_from_crops_multi(self.vit_cfg, self.config)
             self._multi_cache = (order, multi, step)
         return self._multi_cache
 
@@ -251,16 +336,42 @@ class PoseEngine:
             K,
         )
 
-        def step_fn(idx, chunk, batch_cams):
-            pad = self.batch_size - len(chunk)
-            obj_idx = jnp.asarray(
-                [obj_to_idx[detections[i]["obj_id"]] for i in chunk] + [0] * pad,
-                dtype=jnp.int32,
-            )
-            self._counter += 1
-            return step(
-                self.vit_params, crops[idx], crop_masks[idx], batch_cams,
-                obj_idx, multi, jax.random.PRNGKey(self._counter),
-            )
+        if self._mesh is not None:
+            from foundpose_tpu.parallel.mesh import crop_sharding
+
+            crop_shd = crop_sharding(self._mesh)
+
+            def step_fn(idx, chunk, batch_cams):
+                pad = self.batch_size - len(chunk)
+                obj_idx = jax.device_put(
+                    np.asarray(
+                        [obj_to_idx[detections[i]["obj_id"]] for i in chunk]
+                        + [0] * pad,
+                        dtype=np.int32,
+                    ),
+                    crop_shd,
+                )
+                self._counter += 1
+                # The bank-sharded stacked repre is baked into the step; a
+                # 2-axis mesh needs no param factoring (see _multi_step).
+                return step(
+                    self.vit_params,
+                    jax.device_put(crops[idx], crop_shd),
+                    jax.device_put(crop_masks[idx], crop_shd),
+                    batch_cams, obj_idx, jax.random.PRNGKey(self._counter),
+                )
+        else:
+            def step_fn(idx, chunk, batch_cams):
+                pad = self.batch_size - len(chunk)
+                obj_idx = jnp.asarray(
+                    [obj_to_idx[detections[i]["obj_id"]] for i in chunk]
+                    + [0] * pad,
+                    dtype=jnp.int32,
+                )
+                self._counter += 1
+                return step(
+                    self.vit_params, crops[idx], crop_masks[idx], batch_cams,
+                    obj_idx, multi, jax.random.PRNGKey(self._counter),
+                )
 
         return self._dispatch_chunks(n, crop_cams, step_fn)

@@ -340,6 +340,41 @@ def make_sharded_step(
     return step
 
 
+def make_object_mesh_step(mesh: Mesh, vit_cfg, config: InferenceConfig,
+                          repre: ObjectRepre):
+    """Pads + shards one object's repre on `mesh` and returns the jitted
+    multi-chip step (tensor-parallel when the mesh carries a `model` axis).
+
+    The single entry point for callers that hold an UNSHARDED repre — the
+    infer CLI and the serving engine both build their mesh steps here so the
+    padding/sharding/TP wiring cannot drift between them. ViT params must be
+    placed separately with `prepare_mesh_vit_params` (they are shared across
+    objects, the repre is not).
+    """
+    from foundpose_tpu.parallel import mesh as mesh_mod
+    from foundpose_tpu.repre import pad_templates
+
+    bank = mesh.shape[mesh_mod.BANK_AXIS]
+    repre_s = mesh_mod.shard_repre(pad_templates(repre, bank), mesh)
+    tp = mesh_mod.MODEL_AXIS in mesh.axis_names
+    return make_sharded_step(mesh, vit_cfg, config, repre_s, tensor_parallel=tp)
+
+
+def prepare_mesh_vit_params(mesh: Mesh, vit_cfg, vit_params):
+    """Places ViT params for `mesh`: factored + head/hidden-split over the
+    `model` axis when present (parallel/tp_vit.py), unchanged otherwise.
+    One-time per process — the placed tree serves every object's step."""
+    from foundpose_tpu.parallel import mesh as mesh_mod
+
+    if mesh_mod.MODEL_AXIS in mesh.axis_names:
+        from foundpose_tpu.parallel import tp_vit
+
+        return tp_vit.shard_tp_params(
+            tp_vit.prepare_tp_params(vit_params, vit_cfg), mesh
+        )
+    return vit_params
+
+
 def make_sharded_step_multi(
     mesh: Mesh,
     vit_cfg: dinov2.DinoV2Config,

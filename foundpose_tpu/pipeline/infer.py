@@ -699,21 +699,15 @@ def _build_mesh(opts: InferOpts):
 def _make_mesh_object_step(mesh, vit_cfg, config, repre, vit_params):
     """Shards one object's repre on the mesh and returns
     (step(params, crops, masks, cams, key), placed params). With a `model`
-    axis the ViT weights are factored + split tensor-parallel."""
-    from foundpose_tpu.parallel import mesh as mesh_mod
-    from foundpose_tpu.parallel import tp_vit
-    from foundpose_tpu.parallel.sharded_inference import make_sharded_step
-    from foundpose_tpu.repre import pad_templates
+    axis the ViT weights are factored + split tensor-parallel. Single-sourced
+    with the serving engine in parallel/sharded_inference."""
+    from foundpose_tpu.parallel.sharded_inference import (
+        make_object_mesh_step,
+        prepare_mesh_vit_params,
+    )
 
-    bank = mesh.shape[mesh_mod.BANK_AXIS]
-    repre_s = mesh_mod.shard_repre(pad_templates(repre, bank), mesh)
-    tp = mesh_mod.MODEL_AXIS in mesh.axis_names
-    step = make_sharded_step(mesh, vit_cfg, config, repre_s, tensor_parallel=tp)
-    if tp:
-        vit_params = tp_vit.shard_tp_params(
-            tp_vit.prepare_tp_params(vit_params, vit_cfg), mesh
-        )
-    return step, vit_params
+    step = make_object_mesh_step(mesh, vit_cfg, config, repre)
+    return step, prepare_mesh_vit_params(mesh, vit_cfg, vit_params)
 
 
 def infer(opts: InferOpts) -> Dict[int, int]:

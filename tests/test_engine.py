@@ -99,3 +99,111 @@ def test_engine_estimate_mixed(rng):
     # Re-registering invalidates the stacked cache.
     eng.register_object(9, repre_a)
     assert eng._multi_cache is None
+
+
+def _tiny_engine(mesh_shape=None):
+    """Assembles a CPU-sized engine without the heavy default __init__
+    (vits14 compile); mirrors PoseEngine.__init__'s field wiring."""
+    import jax
+
+    eng = engine_mod.PoseEngine.__new__(engine_mod.PoseEngine)
+    cfg = dinov2.DinoV2Config(
+        variant="vits14", embed_dim=32, depth=2, num_heads=2, mlp_ratio=4.0,
+        swiglu=False, patch_size=14, num_register_tokens=4, pos_grid=6,
+        stride=14, facet="token", layer=1, apply_norm=True,
+    )
+    eng.vit_cfg = cfg
+    eng.vit_params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    eng.config = inference.InferenceConfig(
+        crop_size=(84, 84), grid_cell_size=14.0, top_n_templates=2,
+        top_k_buddies=16, pnp_ransac_iter=50, lm_iters=3,
+    )
+    eng.batch_size = 2
+    eng._repres = {}
+    eng._multi_cache = None
+    eng._counter = 0
+    eng._warp_single = engine_mod._make_single_image_warp(eng.config.crop_size)
+    if mesh_shape is None:
+        eng._step = inference.jit_pose_from_crops(cfg, eng.config)
+    else:
+        from foundpose_tpu.parallel import mesh as mesh_mod
+
+        eng._mesh = mesh_mod.make_mesh(shape=mesh_shape)
+        eng._step = None
+    return eng
+
+
+def test_engine_mesh_serving(rng):
+    """Mesh-backed serving produces well-formed results through the SAME
+    sharded step the infer CLI uses (step-level numerical equivalence to the
+    single-device pipeline is covered on a structured world by
+    tests/test_sharding.py; a noise image would make pose agreement a
+    coin-flip over RANSAC near-ties)."""
+    repre, *_ = make_synthetic_world(rng, feat_dim=32)
+    meshed = _tiny_engine(mesh_shape=(2, 2))
+    meshed.register_object(9, repre)
+
+    image = (rng.uniform(size=(240, 320, 3)) * 255).astype(np.uint8)
+    K = np.array([[300.0, 0, 159.5], [0, 300.0, 119.5], [0, 0, 1]])
+    boxes = [
+        np.array([80.0, 60.0, 180.0, 160.0]),
+        np.array([100.0, 80.0, 220.0, 200.0]),
+        np.array([50.0, 40.0, 150.0, 140.0]),
+    ]
+    out_m = meshed.estimate(9, image, boxes, K)
+    assert len(out_m) == 3
+    n_templates = repre.template_descs.shape[0]
+    for rm in out_m:
+        assert rm["R_m2c"].shape == (3, 3)
+        if rm["success"]:
+            # Successful solves return polar-projected (orthonormal) R.
+            np.testing.assert_allclose(
+                rm["R_m2c"] @ rm["R_m2c"].T, np.eye(3), atol=1e-3
+            )
+        assert np.isfinite(rm["t_m2c"]).all()
+        assert 0 <= rm["best_template"] < n_templates
+        assert rm["crop_camera"].width == 84
+    # Re-registering an object invalidates its cached mesh step.
+    assert 9 in meshed._mesh_steps
+    meshed.register_object(9, repre)
+    assert 9 not in meshed._mesh_steps
+
+
+def test_engine_mesh_mixed_and_tp_restriction(rng):
+    """estimate_mixed runs on a (data, bank) mesh; a 3-axis (tensor-parallel)
+    mesh is rejected on the mixed path with the same restriction as the
+    infer CLI."""
+    import pytest
+
+    rng2 = np.random.default_rng(5)
+    repre_a, *_ = make_synthetic_world(rng, feat_dim=32)
+    repre_b, *_ = make_synthetic_world(rng2, feat_dim=32, num_templates=6)
+
+    eng = _tiny_engine(mesh_shape=(2, 2))
+    eng.register_object(3, repre_a)
+    eng.register_object(7, repre_b)
+    image = (rng.uniform(size=(240, 320, 3)) * 255).astype(np.uint8)
+    K = np.array([[300.0, 0, 159.5], [0, 300.0, 119.5], [0, 0, 1]])
+    detections = [
+        {"obj_id": 3, "box_xyxy": np.array([80.0, 60.0, 180.0, 160.0])},
+        {"obj_id": 7, "box_xyxy": np.array([100.0, 80.0, 220.0, 200.0])},
+        {"obj_id": 3, "box_xyxy": np.array([50.0, 40.0, 150.0, 140.0])},
+    ]
+    out = eng.estimate_mixed(image, detections, K)
+    assert len(out) == 3
+    for r in out:
+        assert r["R_m2c"].shape == (3, 3)
+        assert np.isfinite(r["t_m2c"]).all()
+
+    tp_eng = _tiny_engine(mesh_shape=(1, 2, 2))
+    tp_eng.register_object(3, repre_a)
+    # The tensor-parallel extractor serves estimate()...
+    out_tp = tp_eng.estimate(
+        3, image, [d["box_xyxy"] for d in detections[:2]], K
+    )
+    assert len(out_tp) == 2
+    # ...but the mixed path refuses a model axis, like the CLI.
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        eng2 = tp_eng
+        eng2.register_object(7, repre_b)
+        eng2.estimate_mixed(image, detections, K)

@@ -455,7 +455,7 @@ def test_refine_winner_rescues_subthreshold_winner(rng):
     valid = jnp.ones(40, bool)
     kf = jnp.asarray(k_f, jnp.float32)
     kc = jnp.asarray(k_c, jnp.float32)
-    for scale in (0.02, 0.03, 0.045, 0.07, 0.1):
+    for scale in (0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4):
         dr = Rotation.from_rotvec(np.array([1.1, -0.8, 0.6]) * scale).as_matrix()
         r0 = jnp.asarray(dr @ r, jnp.float32)
         t0 = jnp.asarray(t, jnp.float32)
