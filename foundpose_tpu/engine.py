@@ -12,6 +12,7 @@ overlaps host-side unpacking (jax dispatch is asynchronous).
 
 from __future__ import annotations
 
+import collections
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,6 +36,12 @@ class PoseEngine:
     # Class defaults so engines assembled field-by-field (tests, embedders)
     # predate the mesh feature gracefully: no mesh unless one is configured.
     _mesh = None
+    _mesh_params = None
+    _mesh_steps = None
+    # Bound on cached per-object sharded steps: each one pins its padded,
+    # bank-sharded repre in device memory, so an unbounded cache leaks HBM
+    # in serving processes that rotate through many objects.
+    max_cached_mesh_steps = 8
 
     def __init__(
         self,
@@ -87,30 +94,49 @@ class PoseEngine:
             self._step = inference.jit_pose_from_crops(self.vit_cfg, self.config)
         self._warp_single = _make_single_image_warp(self.config.crop_size)
         self._multi_cache = None
+        self._mesh_params = None
+        self._mesh_steps = collections.OrderedDict()
         self._counter = 0
 
     def register_object(self, obj_id: int, repre: ObjectRepre) -> None:
         self._repres[obj_id] = repre
         self._multi_cache = None  # invalidate the stacked multi-object step
-        self.__dict__.get("_mesh_steps", {}).pop(obj_id, None)
+        if self._mesh_steps:
+            self._mesh_steps.pop(obj_id, None)
+
+    def unregister_object(self, obj_id: int) -> None:
+        """Drops an object and releases its cached sharded step (and the
+        device-resident repre baked into it)."""
+        self._repres.pop(obj_id, None)
+        self._multi_cache = None
+        if self._mesh_steps:
+            self._mesh_steps.pop(obj_id, None)
 
     def _mesh_object_step(self, obj_id: int):
         """Lazily builds + caches the sharded step for one object (the placed
-        ViT params are shared across objects and prepared once)."""
+        ViT params are shared across objects and prepared once). The cache is
+        LRU-bounded by `max_cached_mesh_steps` because every cached step pins
+        its bank-sharded repre in HBM."""
         from foundpose_tpu.parallel.sharded_inference import (
             make_object_mesh_step,
             prepare_mesh_vit_params,
         )
 
-        if "_mesh_params" not in self.__dict__:
+        if self._mesh_params is None:
             self._mesh_params = prepare_mesh_vit_params(
                 self._mesh, self.vit_cfg, self.vit_params
             )
-        steps = self.__dict__.setdefault("_mesh_steps", {})
-        if obj_id not in steps:
+        if self._mesh_steps is None:  # engines assembled field-by-field
+            self._mesh_steps = collections.OrderedDict()
+        steps = self._mesh_steps
+        if obj_id in steps:
+            steps.move_to_end(obj_id)
+        else:
             steps[obj_id] = make_object_mesh_step(
                 self._mesh, self.vit_cfg, self.config, self._repres[obj_id]
             )
+            while len(steps) > self.max_cached_mesh_steps:
+                steps.popitem(last=False)
         return steps[obj_id], self._mesh_params
 
     @property

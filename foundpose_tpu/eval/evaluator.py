@@ -339,9 +339,14 @@ class EvaluatorPose:
                 if isinstance(vals[0], np.ndarray)
                 else np.asarray(vals, dtype=np.float64)
             )
+            # Drop NaNs up front: nanmean/nanpercentile on an all-NaN slice
+            # emits RuntimeWarnings on legitimate paths (e.g. no-GT runs).
+            arr = arr[~np.isnan(arr)]
+            if arr.size == 0:
+                return float("nan")
             if how == "pct":
-                return float(np.nanpercentile(arr, q))
-            return float(np.nanmean(arr))
+                return float(np.percentile(arr, q))
+            return float(np.mean(arr))
 
         metrics = [
             ("mssd", lambda r: r.mssd, "mean", None),
@@ -365,7 +370,8 @@ class EvaluatorPose:
         for name, fn, how, q in metrics:
             per_class = [agg(col(per_obj_recs[o], fn), how, q) for o in self.obj_ids]
             overall = agg(col(recs, fn), how, q)
-            pmean = float(np.nanmean(per_class)) if per_class else float("nan")
+            pc_valid = [v for v in per_class if not np.isnan(v)]
+            pmean = float(np.mean(pc_valid)) if pc_valid else float("nan")
             table.append([name, overall, pmean] + per_class)
         table.append(
             ["num_obj", len(recs), float(np.mean([len(v) for v in per_obj_recs.values()]))]

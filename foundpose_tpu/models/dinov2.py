@@ -106,11 +106,19 @@ class DinoV2Config:
         return int(self.embed_dim * self.mlp_ratio)
 
 
+# DSL keys the reference's parser accepts but that have no effect on the
+# extractor (log-binning was never wired up there either) — accepted for
+# config compatibility, ignored here (reference: utils/dinov2_utils.py:59-78).
+_IGNORED_DSL_KEYS = frozenset({"logbin"})
+
+
 def parse_model_name(model_name: str) -> DinoV2Config:
     """Parses the reference's model-name DSL into a config.
 
     Supports "dinov2_<version>" and
     "dinov2_version=<v>_stride=<s>_facet=<f>_layer=<l>_norm=<0|1>".
+    Unknown keys raise (a typo like "layr=19" must not silently run the
+    defaults); `logbin` is whitelisted as known-ignorable.
     (reference: utils/dinov2_utils.py:59-78)
     """
     items = model_name.split("_")
@@ -122,8 +130,11 @@ def parse_model_name(model_name: str) -> DinoV2Config:
     else:
         for item in items[1:]:
             if "=" not in item:
-                continue
-            k, v = item.split("=")
+                raise ValueError(
+                    f"malformed dinov2 model-name item {item!r} in "
+                    f"{model_name!r} (expected key=value)"
+                )
+            k, v = item.split("=", 1)
             if k == "version":
                 version = v
             elif k == "stride":
@@ -134,6 +145,12 @@ def parse_model_name(model_name: str) -> DinoV2Config:
                 layer = int(v)
             elif k == "norm":
                 norm = bool(int(v))
+            elif k not in _IGNORED_DSL_KEYS:
+                raise ValueError(
+                    f"unknown dinov2 model-name key {k!r} in {model_name!r} "
+                    f"(known: version/stride/facet/layer/norm; ignorable: "
+                    f"{sorted(_IGNORED_DSL_KEYS)})"
+                )
     has_reg = version.endswith("-reg")
     base = version[:-4] if has_reg else version
     if base not in _VARIANTS:

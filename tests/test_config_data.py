@@ -169,7 +169,66 @@ def test_shipped_configs_load():
             opts = cfg_mod.load_opts(cls, ["--opts-path", path])
             assert opts.object_dataset in ("lmo", "tudl", "ycbv", "tless")
             count += 1
-    assert count == 12
+    assert count == 13  # 4 datasets x 3 stages + infer/lmo_exact.json
+
+
+def test_shipped_infer_configs_engage_fast_path():
+    """The shipped configs/infer/*.json must resolve to the BENCHED fast
+    path — fused-block Pallas ViT admitted by the VMEM guard at the
+    production token count, capped softmax stabilizer, bf16 compute, approx
+    top-k — so a user following the quickstart runs the configuration the
+    README headline measures (validated AR-neutral by
+    benchmarks/cross_parity.py). lmo_exact.json stays on the exact-f32
+    path for numerical parity runs."""
+    import glob
+    import os
+
+    import jax.numpy as jnp
+
+    from foundpose_tpu.models import dinov2
+    from foundpose_tpu.ops.vit_block import choose_mlp_chunks
+    from foundpose_tpu.pipeline.infer import InferOpts
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "infer")
+    fast_paths = sorted(
+        p for p in glob.glob(os.path.join(root, "*.json"))
+        if not p.endswith("_exact.json")
+    )
+    assert len(fast_paths) == 4
+    for path in fast_paths:
+        opts = cfg_mod.load_opts(InferOpts, ["--opts-path", path])
+        assert opts.use_pallas_attention and opts.use_fused_block
+        assert opts.approx_gelu and opts.approx_topk
+        assert opts.compute_dtype == "bfloat16"
+        vit_cfg = dinov2.resolve_config(
+            opts.extractor_name,
+            use_pallas_attention=opts.use_pallas_attention,
+            use_fused_block=opts.use_fused_block,
+            approx_gelu=opts.approx_gelu,
+            overrides=opts.vit_overrides,
+        )
+        assert vit_cfg.use_fused_block
+        assert vit_cfg.softmax_stabilizer == "capped"
+        # The VMEM guard must ADMIT the fused kernel at the production
+        # shape: (420/14)^2 + cls + 4 registers = 905 tokens -> 912 padded
+        # (the same chunk chooser models/dinov2._run_blocks consults).
+        grid = opts.crop_size[0] // vit_cfg.patch_size
+        t = grid * grid + 1 + vit_cfg.num_register_tokens
+        t_pad = -(-t // 16) * 16
+        chunks = choose_mlp_chunks(
+            t_pad, vit_cfg.embed_dim, vit_cfg.mlp_hidden,
+            jnp.dtype(jnp.bfloat16).itemsize, vit_cfg.swiglu,
+            images_per_step=vit_cfg.fused_images_per_step,
+            paired_heads=vit_cfg.fused_paired_heads,
+        )
+        assert chunks is not None, f"VMEM guard rejects the fused path: {path}"
+
+    exact = cfg_mod.load_opts(
+        InferOpts, ["--opts-path", os.path.join(root, "lmo_exact.json")]
+    )
+    assert not exact.use_fused_block and not exact.approx_gelu
+    assert exact.compute_dtype == "float32" and not exact.approx_topk
+    assert exact.vit_overrides is None
 
 
 def test_merge_json_helpers():

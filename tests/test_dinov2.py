@@ -193,6 +193,23 @@ def test_parse_model_name():
     assert cfg3.swiglu and cfg3.mlp_hidden == 4096 and not cfg3.apply_norm
 
 
+def test_parse_model_name_rejects_typos():
+    """Unknown DSL keys fail loudly instead of silently running defaults
+    (a typo like layr=19 must not quietly select layer 9); logbin stays
+    whitelisted for reference-config compatibility."""
+    import pytest
+
+    with pytest.raises(ValueError, match="layr"):
+        dinov2.parse_model_name("dinov2_version=vits14-reg_layr=19")
+    with pytest.raises(ValueError, match="malformed"):
+        dinov2.parse_model_name("dinov2_vits14-reg_stride=7")
+    with pytest.raises(ValueError, match="not a dinov2"):
+        dinov2.parse_model_name("resnet50")
+    # logbin ignored; value irrelevant.
+    cfg = dinov2.parse_model_name("dinov2_version=vits14-reg_logbin=1_layer=5")
+    assert cfg.layer == 5
+
+
 def test_stride_override_token_count():
     cfg = tiny_cfg(stride=7)
     params = dinov2.init_params(jax.random.PRNGKey(0), cfg)

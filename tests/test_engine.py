@@ -168,6 +168,17 @@ def test_engine_mesh_serving(rng):
     meshed.register_object(9, repre)
     assert 9 not in meshed._mesh_steps
 
+    # The step cache is LRU-bounded (each cached step pins its sharded repre
+    # in device memory) and unregister_object releases an object's step.
+    meshed.max_cached_mesh_steps = 1
+    out_m = meshed.estimate(9, image, boxes[:1], K)
+    assert len(out_m) == 1 and 9 in meshed._mesh_steps
+    meshed.register_object(11, repre)
+    out_m = meshed.estimate(11, image, boxes[:1], K)
+    assert list(meshed._mesh_steps) == [11]  # 9 evicted by the LRU bound
+    meshed.unregister_object(11)
+    assert 11 not in meshed._mesh_steps and 11 not in meshed._repres
+
 
 def test_engine_mesh_mixed_and_tp_restriction(rng):
     """estimate_mixed runs on a (data, bank) mesh; a 3-axis (tensor-parallel)
@@ -202,8 +213,9 @@ def test_engine_mesh_mixed_and_tp_restriction(rng):
         3, image, [d["box_xyxy"] for d in detections[:2]], K
     )
     assert len(out_tp) == 2
-    # ...but the mixed path refuses a model axis, like the CLI.
+    # ...but the mixed path refuses a model axis, like the CLI. Only the
+    # estimate_mixed call itself sits inside the raises block, so a
+    # register_object failure can't make the test pass for the wrong reason.
+    tp_eng.register_object(7, repre_b)
     with pytest.raises(ValueError, match="tensor-parallel"):
-        eng2 = tp_eng
-        eng2.register_object(7, repre_b)
-        eng2.estimate_mixed(image, detections, K)
+        tp_eng.estimate_mixed(image, detections, K)

@@ -455,7 +455,12 @@ def test_refine_winner_rescues_subthreshold_winner(rng):
     valid = jnp.ones(40, bool)
     kf = jnp.asarray(k_f, jnp.float32)
     kc = jnp.asarray(k_c, jnp.float32)
-    for scale in (0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4):
+    # Small scales (0.02-0.05) rarely qualify — the perturbed pose usually
+    # keeps >= 6 base-threshold inliers so there is nothing to rescue — but
+    # they stay in the candidate list (the qualification check below skips
+    # them) so a future threshold regression that makes them qualify again
+    # is still covered instead of masked by retuned inputs.
+    for scale in (0.02, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4):
         dr = Rotation.from_rotvec(np.array([1.1, -0.8, 0.6]) * scale).as_matrix()
         r0 = jnp.asarray(dr @ r, jnp.float32)
         t0 = jnp.asarray(t, jnp.float32)
