@@ -112,13 +112,11 @@ class PoseEngine:
         if self._mesh_steps:
             self._mesh_steps.pop(obj_id, None)
 
-    def _mesh_object_step(self, obj_id: int):
-        """Lazily builds + caches the sharded step for one object (the placed
-        ViT params are shared across objects and prepared once). The cache is
-        LRU-bounded by `max_cached_mesh_steps` because every cached step pins
-        its bank-sharded repre in HBM."""
+    def _get_mesh_params(self):
+        """Mesh-placed ViT params, prepared once and shared by every
+        per-object and mixed-object step (factored + model-split on a
+        tensor-parallel mesh)."""
         from foundpose_tpu.parallel.sharded_inference import (
-            make_object_mesh_step,
             prepare_mesh_vit_params,
         )
 
@@ -126,6 +124,17 @@ class PoseEngine:
             self._mesh_params = prepare_mesh_vit_params(
                 self._mesh, self.vit_cfg, self.vit_params
             )
+        return self._mesh_params
+
+    def _mesh_object_step(self, obj_id: int):
+        """Lazily builds + caches the sharded step for one object (the placed
+        ViT params are shared across objects and prepared once). The cache is
+        LRU-bounded by `max_cached_mesh_steps` because every cached step pins
+        its bank-sharded repre in HBM."""
+        from foundpose_tpu.parallel.sharded_inference import (
+            make_object_mesh_step,
+        )
+
         if self._mesh_steps is None:  # engines assembled field-by-field
             self._mesh_steps = collections.OrderedDict()
         steps = self._mesh_steps
@@ -137,7 +146,7 @@ class PoseEngine:
             )
             while len(steps) > self.max_cached_mesh_steps:
                 steps.popitem(last=False)
-        return steps[obj_id], self._mesh_params
+        return steps[obj_id], self._get_mesh_params()
 
     @property
     def object_ids(self) -> List[int]:
@@ -294,32 +303,20 @@ class PoseEngine:
     def _multi_step(self):
         """Lazily builds (obj_id order, stacked repre, jitted mixed step).
         On a mesh the stacked repre is bank-sharded and baked into the step
-        (same wiring as the infer CLI's multi-object mesh path)."""
+        (same wiring as the infer CLI's multi-object mesh path, single-sourced
+        in sharded_inference.make_multi_object_mesh_step); a 3-axis mesh runs
+        the ViT tensor-parallel on the mixed path too."""
         if self._multi_cache is None:
             from foundpose_tpu.repre import stack_repres
 
             order = self.object_ids
             multi = stack_repres([self._repres[o] for o in order])
             if self._mesh is not None:
-                from foundpose_tpu.parallel import mesh as mesh_mod
                 from foundpose_tpu.parallel.sharded_inference import (
-                    make_sharded_step_multi,
+                    make_multi_object_mesh_step,
                 )
-                from foundpose_tpu.repre import pad_templates
 
-                if mesh_mod.MODEL_AXIS in self._mesh.axis_names:
-                    # Same restriction as the infer CLI: the multi-object
-                    # step has no tensor-parallel extractor variant.
-                    raise ValueError(
-                        "tensor-parallel (3-axis) meshes are only supported "
-                        "by estimate(); use a (data, bank) mesh with "
-                        "estimate_mixed()"
-                    )
-                bank = self._mesh.shape[mesh_mod.BANK_AXIS]
-                multi = mesh_mod.shard_repre_multi(
-                    pad_templates(multi, bank), self._mesh
-                )
-                step = make_sharded_step_multi(
+                step, multi = make_multi_object_mesh_step(
                     self._mesh, self.vit_cfg, self.config, multi
                 )
             else:
@@ -366,6 +363,7 @@ class PoseEngine:
             from foundpose_tpu.parallel.mesh import crop_sharding
 
             crop_shd = crop_sharding(self._mesh)
+            mesh_params = self._get_mesh_params()
 
             def step_fn(idx, chunk, batch_cams):
                 pad = self.batch_size - len(chunk)
@@ -378,10 +376,11 @@ class PoseEngine:
                     crop_shd,
                 )
                 self._counter += 1
-                # The bank-sharded stacked repre is baked into the step; a
-                # 2-axis mesh needs no param factoring (see _multi_step).
+                # The bank-sharded stacked repre is baked into the step; the
+                # placed params are factored+model-split on a TP mesh and
+                # identical to self.vit_params on a (data, bank) mesh.
                 return step(
-                    self.vit_params,
+                    mesh_params,
                     jax.device_put(crops[idx], crop_shd),
                     jax.device_put(crop_masks[idx], crop_shd),
                     batch_cams, obj_idx, jax.random.PRNGKey(self._counter),

@@ -360,6 +360,29 @@ def make_object_mesh_step(mesh: Mesh, vit_cfg, config: InferenceConfig,
     return make_sharded_step(mesh, vit_cfg, config, repre_s, tensor_parallel=tp)
 
 
+def make_multi_object_mesh_step(mesh: Mesh, vit_cfg, config: InferenceConfig,
+                                multi_repre: ObjectRepre):
+    """Pads + shards a STACKED multi-object repre on `mesh` and returns the
+    jitted mixed-object multi-chip step (tensor-parallel when the mesh
+    carries a `model` axis) plus the sharded repre.
+
+    The single entry point for callers holding an unsharded stacked repre —
+    the infer CLI's multi_object path and the engine's estimate_mixed both
+    build here so the padding/sharding/TP wiring cannot drift. ViT params
+    must be placed separately with `prepare_mesh_vit_params`.
+    """
+    from foundpose_tpu.parallel import mesh as mesh_mod
+    from foundpose_tpu.repre import pad_templates
+
+    bank = mesh.shape[mesh_mod.BANK_AXIS]
+    multi_s = mesh_mod.shard_repre_multi(pad_templates(multi_repre, bank), mesh)
+    tp = mesh_mod.MODEL_AXIS in mesh.axis_names
+    step = make_sharded_step_multi(
+        mesh, vit_cfg, config, multi_s, tensor_parallel=tp
+    )
+    return step, multi_s
+
+
 def prepare_mesh_vit_params(mesh: Mesh, vit_cfg, vit_params):
     """Places ViT params for `mesh`: factored + head/hidden-split over the
     `model` axis when present (parallel/tp_vit.py), unchanged otherwise.
@@ -380,6 +403,7 @@ def make_sharded_step_multi(
     vit_cfg: dinov2.DinoV2Config,
     config: InferenceConfig,
     multi_repre: ObjectRepre,
+    tensor_parallel: bool = False,
 ):
     """Multi-chip + multi-object step: crops of MANY objects share batches
     (each crop carries an object index into the stacked repre,
@@ -389,11 +413,36 @@ def make_sharded_step_multi(
     Returns step(vit_params, crops, masks, cameras, obj_idx, key). Place
     inputs with `mesh.crop_sharding`, the stacked repre with
     `mesh.shard_repre_multi`. obj_idx is [B] int32, data-sharded.
+
+    With `tensor_parallel=True` the mesh must carry a third `model` axis and
+    vit_params must come from tp_vit.prepare_tp_params/shard_tp_params (the
+    same factored tree prepare_mesh_vit_params produces): the ViT runs with
+    heads/MLP hidden split over `model` (two psums per layer), completing
+    the (data, bank, model) composition for mixed-object batches — the
+    vitg14 deployment (reference treats it as a first-class extractor,
+    utils/dinov2_utils.py:81-84) no longer forfeits mixed-object batching.
+    Post-ViT stages are model-replicated, same trade as make_sharded_step.
     """
+    import dataclasses
+
     from jax import shard_map
 
     tfidf_config = multi_repre.tfidf_config
     has_pca = multi_repre.raw_projector is not None
+
+    if tensor_parallel:
+        from foundpose_tpu.parallel import tp_vit
+
+        tp_vit.validate_tp(vit_cfg, mesh.shape[tp_vit.MODEL_AXIS])
+        # The fused Pallas block computes a whole layer in one kernel, so the
+        # two mid-layer psums of the TP split cannot be placed inside it.
+        vit_cfg_run = dataclasses.replace(
+            vit_cfg, use_fused_block=False, use_pallas_attention=False
+        )
+        vit_spec = tp_vit.tp_param_specs_from_cfg(vit_cfg)
+    else:
+        vit_cfg_run = vit_cfg
+        vit_spec = P()
 
     def inner(vit_params, crops, masks, cam_f, cam_c, obj_idx, repre_arrays,
               key):
@@ -406,7 +455,16 @@ def make_sharded_step_multi(
         if masks.dtype != jnp.float32:
             masks = masks.astype(jnp.float32)
         images = dinov2.normalize_images(crops).astype(config.compute_dtype)
-        fmaps = dinov2.extract_facet(vit_params, vit_cfg, images)["feature_maps"]
+        if tensor_parallel:
+            from foundpose_tpu.parallel import tp_vit
+
+            fmaps = tp_vit.tp_extract_local(vit_params, vit_cfg_run, images)[
+                "feature_maps"
+            ]
+        else:
+            fmaps = dinov2.extract_facet(vit_params, vit_cfg_run, images)[
+                "feature_maps"
+            ]
         fmaps = fmaps.astype(jnp.float32)
 
         # Same key derivation as the other pipeline variants (see
@@ -517,7 +575,7 @@ def make_sharded_step_multi(
         inner,
         mesh=mesh,
         in_specs=(
-            rep_spec,   # vit params
+            vit_spec,   # vit params (replicated, or model-split under TP)
             data_spec,  # crops
             data_spec,  # masks
             data_spec,  # cam_f

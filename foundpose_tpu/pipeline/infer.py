@@ -122,7 +122,7 @@ class InferOpts:
     # over `data` (batch_size must divide the data axis), each object's
     # template bank over `bank` (padded to an even split via
     # repre.pad_templates), and with a 3rd axis the ViT runs
-    # tensor-parallel (parallel/tp_vit.py; single-object path only).
+    # tensor-parallel (parallel/tp_vit.py; single- AND multi-object paths).
     mesh_shape: Optional[Tuple[int, ...]] = None
 
     # Injection seams (no reference counterpart): `vit_overrides` patches
@@ -951,12 +951,6 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
         compute_dtype=getattr(jnp_mod, opts.compute_dtype),
     )
     mesh = _build_mesh(opts) if opts.mesh_shape else None
-    if mesh is not None and len(opts.mesh_shape) > 2:
-        raise ValueError(
-            "tensor-parallel (3-axis mesh_shape) is only supported on the "
-            "single-object path; use mesh_shape=(data, bank) with "
-            "multi_object=True"
-        )
     step = None if mesh is not None else mo.jit_pose_from_crops_multi(
         vit_cfg, config
     )
@@ -1015,15 +1009,16 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
     if mesh is not None:
         from foundpose_tpu.parallel import mesh as mesh_mod
         from foundpose_tpu.parallel.sharded_inference import (
-            make_sharded_step_multi,
+            make_multi_object_mesh_step,
+            prepare_mesh_vit_params,
         )
-        from foundpose_tpu.repre import pad_templates
 
-        bank = mesh.shape[mesh_mod.BANK_AXIS]
-        multi_sharded = mesh_mod.shard_repre_multi(
-            pad_templates(multi_repre, bank), mesh
+        mesh_step, _ = make_multi_object_mesh_step(
+            mesh, vit_cfg, config, multi_repre
         )
-        mesh_step = make_sharded_step_multi(mesh, vit_cfg, config, multi_sharded)
+        # Factored + model-split on a 3-axis (tensor-parallel) mesh,
+        # unchanged on a (data, bank) mesh.
+        vit_params = prepare_mesh_vit_params(mesh, vit_cfg, vit_params)
         crop_shd = mesh_mod.crop_sharding(mesh)
 
         def dispatch_one(s, padded):

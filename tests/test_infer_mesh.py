@@ -77,6 +77,9 @@ def test_infer_cli_mesh_shapes(tmp_path):
         ("mesh22", (2, 2), False),
         ("mesh222_tp", (2, 2, 2), False),
         ("mesh22_mo", (2, 2), True),
+        # Tensor-parallel x multi-object composition (VERDICT r3
+        # directive 4): the ViT model-split serves mixed-object batches.
+        ("mesh222_tp_mo", (2, 2, 2), True),
     ):
         infer_opts = infer_mod.InferOpts(
             object_dataset="demo", object_lids=[OBJ_ID],

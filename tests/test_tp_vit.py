@@ -199,3 +199,77 @@ def test_tp_composed_step_matches_bank_sharded_step(rng):
     np.testing.assert_allclose(
         np.asarray(out2.t_m2c), np.asarray(out3.t_m2c), atol=1e-2, rtol=0
     )
+
+
+def test_tp_multi_object_step_matches_bank_sharded_step(rng):
+    """The (data, bank, model) MULTI-OBJECT step (mixed-object batches +
+    bank-sharded banks + TP ViT) must agree with the 2-axis multi-object
+    step on the same inputs (VERDICT r3 directive 4: the vitg14-class
+    deployment keeps mixed-object batching)."""
+    import __graft_entry__ as ge
+    from foundpose_tpu.parallel import mesh as mesh_mod
+    from foundpose_tpu.parallel.sharded_inference import (
+        make_multi_object_mesh_step,
+        prepare_mesh_vit_params,
+    )
+    from foundpose_tpu.pipeline import inference
+    from foundpose_tpu.repre import stack_repres
+    from foundpose_tpu.structs import PinholeCamera
+
+    cfg = tiny_cfg()
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    repre_a = ge._realistic_repre(
+        np.random.default_rng(0), num_templates=16, fmax=128,
+        feat_dim=32, num_words=64, raw_dim=64,
+    )
+    repre_b = ge._realistic_repre(
+        np.random.default_rng(5), num_templates=12, fmax=128,
+        feat_dim=32, num_words=64, raw_dim=64,
+    )
+    multi = stack_repres([repre_a, repre_b])
+    b, hw = 4, 84
+    crops = jnp.asarray(rng.uniform(size=(b, hw, hw, 3)).astype(np.float32))
+    masks = jnp.ones((b, hw, hw), jnp.float32)
+    obj_idx = jnp.asarray([0, 1, 0, 1], dtype=jnp.int32)
+    cameras = PinholeCamera(
+        f=jnp.tile(jnp.asarray([[100.0, 100.0]]), (b, 1)),
+        c=jnp.tile(jnp.asarray([[41.5, 41.5]]), (b, 1)),
+        T_world_from_eye=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        width=hw,
+        height=hw,
+    )
+    config = inference.InferenceConfig(
+        crop_size=(hw, hw), grid_cell_size=14.0, top_n_templates=3,
+        top_k_buddies=16, pnp_ransac_iter=50, lm_iters=3,
+    )
+    key = jax.random.PRNGKey(1)
+
+    outs = []
+    for m in (
+        mesh_mod.make_mesh(shape=(2, 2), devices=jax.devices()[:4]),
+        mesh_mod.make_mesh(shape=(2, 2, 2)),
+    ):
+        step, _ = make_multi_object_mesh_step(m, cfg, config, multi)
+        placed = prepare_mesh_vit_params(m, cfg, params)
+        outs.append(step(
+            placed,
+            jax.device_put(crops, mesh_mod.crop_sharding(m)),
+            jax.device_put(masks, mesh_mod.crop_sharding(m)),
+            cameras,
+            jax.device_put(obj_idx, mesh_mod.crop_sharding(m)),
+            key,
+        ))
+    out2, out3 = outs
+
+    np.testing.assert_array_equal(
+        np.asarray(out2.template_ids), np.asarray(out3.template_ids)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out2.best_template), np.asarray(out3.best_template)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.R_m2c), np.asarray(out3.R_m2c), atol=1e-3, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.t_m2c), np.asarray(out3.t_m2c), atol=1e-2, rtol=0
+    )
