@@ -83,7 +83,25 @@ def main():
         # capped/floored beyond (see DinoV2Config.softmax_stabilizer).
         softmax_stabilizer="capped",
     )
-    params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+    # Calibrated "realistic-statistics" weights (no pretrained checkpoint is
+    # reachable here): per-layer q/k scaled so max |attention logit| = 30 —
+    # the range pretrained DINOv2 runs in and the regime the capped
+    # stabilizer's exactness window (< ~99) is claimed for — and layerscale
+    # at a trained-model magnitude (models/bench_weights.py; parity at this
+    # range re-verified in tests/test_bench_weights.py). Timed identically
+    # to random init (same program, data-independent runtime); what changes
+    # is that the stabilizer/bf16 paths are exercised honestly.
+    from foundpose_tpu.models import bench_weights
+
+    params_host = bench_weights.realistic_params(jax.random.PRNGKey(0), vit_cfg)
+    attn_logit_max = float(
+        bench_weights.attention_logit_maxima(params_host, vit_cfg).max()
+    )
+    assert attn_logit_max < 99.0, attn_logit_max  # capped-stabilizer window
+    # Commit the host-built weights to the device ONCE — numpy args are
+    # re-uploaded on every dispatch (~85 MB/call over the tunnel, measured
+    # 1730 -> 267 crops/sec when left as numpy).
+    params = jax.device_put(params_host)
     repre = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,
                              num_words=2048, raw_dim=384)
     # bf16 banks at rest: halves repre HBM + the matching stage's bank-gather
@@ -267,6 +285,12 @@ def main():
         "batch": batch,
         "mfu": round(mfu, 4),
         "flops_per_step_analytic": step_flops,
+        "weight_source": (
+            "calibrated random (bench_weights.realistic_params: per-layer "
+            "max |attn logit| = 30, layerscale 0.1; no pretrained ckpt on "
+            "this host)"
+        ),
+        "attn_logit_max": round(attn_logit_max, 2),
     }
     if stage_ms is not None:
         result["stage_ms_per_batch"] = stage_ms
