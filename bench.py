@@ -2,9 +2,10 @@
 
 Measures the full online coarse-pose pipeline (DINOv2 ViT-S/14-reg features ->
 PCA -> tf-idf retrieval over 798 templates -> cyclic-buddy matching ->
-400-hypothesis RANSAC-PnP + LM) at the published LM-O configuration
-(reference: configs/infer/lmo.json), batched over crops, as one jitted XLA
-program. Also reports a per-stage device-time breakdown (each stage jitted
+RANSAC-PnP + LM at the shipped 200-hypothesis + 2-LO budget, AR-gated vs the
+reference's 400 by benchmarks/ransac_sweep.py) at the published LM-O
+configuration (reference: configs/infer/lmo.json), batched over crops, as one
+jitted XLA program. Also reports a per-stage device-time breakdown (each stage jitted
 separately) and MFU from the compiled program's XLA cost analysis.
 
 Baseline: the reference publishes no throughput numbers. The denominator is

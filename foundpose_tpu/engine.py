@@ -163,30 +163,29 @@ class PoseEngine:
         img = image.astype(np.float32)
         if img.max() > 1.5:
             img = img / 255.0
-        # Scalar per-box camera math pinned to the CPU backend: each eager
-        # jnp dispatch on a tunneled accelerator is a ~100 ms round trip
-        # (same pathology as pipeline/infer.prepare_instance_crops).
+        # Crop-camera math runs BATCHED on the CPU backend: one vectorized
+        # build_crop_cameras call whose op count is constant in the number
+        # of boxes (the old per-box loop paid per-dispatch cost x N x ops;
+        # parity test: tests/test_cameras.py).
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
             orig_cam = PinholeCamera.from_intrinsic_matrix(
                 K, width=w, height=h
             )
-            crop_cams = []
-            for box in boxes_xyxy:
-                crop_box = cam_mod.calc_crop_box(
-                    jnp.asarray(box, dtype=jnp.float32)
-                )
-                crop_cams.append(
-                    jax.tree.map(
-                        np.asarray,
-                        cam_mod.construct_crop_camera(
-                            box=crop_box, camera_c2w=orig_cam,
-                            viewport_size=self.config.crop_size,
-                            viewport_rel_pad=0.2,
-                        ),
-                    )
-                )
+            batched_cams = jax.tree.map(
+                np.asarray,
+                cam_mod.build_crop_cameras(
+                    orig_cam,
+                    jnp.asarray(np.stack(boxes_xyxy), dtype=jnp.float32),
+                    viewport_size=self.config.crop_size,
+                    viewport_rel_pad=0.2,
+                ),
+            )
             orig_cam = jax.tree.map(np.asarray, orig_cam)
-        dst_cams = jax.tree.map(lambda *x: jnp.stack(x), *crop_cams)
+        crop_cams = [
+            jax.tree.map(lambda a: a[i], batched_cams)
+            for i in range(len(boxes_xyxy))
+        ]
+        dst_cams = jax.tree.map(jnp.asarray, batched_cams)
         mask_stack = jnp.asarray(
             np.stack(
                 [
@@ -202,12 +201,38 @@ class PoseEngine:
         )
         return crop_cams, crops, crop_masks
 
+    @staticmethod
+    def _pack_outputs(out):
+        """Packs the serving-consumed PoseOutputs fields into ONE [B, 15]
+        f32 array (success, quality, score, best_template, R_m2w.flat,
+        t_m2w) so unpacking costs a single device->host transfer. Per-leaf
+        np.asarray fetches pay one transfer round trip EACH — ~16 x 31 ms
+        per chunk on an RPC-attached chip (measured, benchmarks/latency.py);
+        local PCIe deployments save the per-transfer syscalls too."""
+        import jax.numpy as jnp
+
+        b = out.R_m2w.shape[0]
+        return jnp.concatenate(
+            [
+                out.success.astype(jnp.float32)[:, None],
+                out.quality.astype(jnp.float32)[:, None],
+                out.score.astype(jnp.float32)[:, None],
+                out.best_template.astype(jnp.float32)[:, None],
+                out.R_m2w.astype(jnp.float32).reshape(b, 9),
+                out.t_m2w.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+
     def _dispatch_chunks(self, n, crop_cams, step_fn):
         """Pads index chunks to the engine batch size, dispatches every chunk
         (async), then fetches + unpacks. `step_fn(idx, chunk, batch_cams)`
         runs the compiled step for one padded chunk."""
         import jax
         import jax.numpy as jnp
+
+        if getattr(self, "_packer", None) is None:
+            self._packer = jax.jit(self._pack_outputs)
 
         bs = self.batch_size
         dispatched = []
@@ -223,21 +248,23 @@ class PoseEngine:
                     lambda x: jnp.concatenate([x] + [x[-1:]] * pad, axis=0),
                     batch_cams,
                 )
-            dispatched.append((chunk, step_fn(idx, chunk, batch_cams)))
+            dispatched.append(
+                (chunk, self._packer(step_fn(idx, chunk, batch_cams)))
+            )
 
         out_all: List[Dict[str, Any]] = []
-        for chunk, out in dispatched:
-            out_np = jax.tree.map(np.asarray, out)
+        for chunk, packed in dispatched:
+            p = np.asarray(packed)  # ONE transfer per chunk
             for j, i in enumerate(chunk):
                 out_all.append(
                     {
-                        "success": bool(out_np.success[j]),
+                        "success": bool(p[j, 0] > 0.5),
                         # world == image camera for engine calls.
-                        "R_m2c": out_np.R_m2w[j],
-                        "t_m2c": out_np.t_m2w[j],
-                        "quality": float(out_np.quality[j]),
-                        "score": float(out_np.score[j]),
-                        "best_template": int(out_np.best_template[j]),
+                        "R_m2c": p[j, 4:13].reshape(3, 3),
+                        "t_m2c": p[j, 13:16],
+                        "quality": float(p[j, 1]),
+                        "score": float(p[j, 2]),
+                        "best_template": int(p[j, 3]),
                         "crop_camera": crop_cams[i],
                     }
                 )

@@ -68,7 +68,11 @@ class InferOpts:
     match_top_k_buddies: int = 300
 
     pnp_type: str = "ransac_dlt"
-    pnp_ransac_iter: int = 400
+    # 200 (not the reference's 400, which is cv2's adaptive-budget cap):
+    # AR-gated at 2 seeds x 200 crops on the cross-parity world — see the
+    # rationale on InferenceConfig.pnp_ransac_iter and
+    # benchmarks/ransac_sweep.py. lmo_exact.json pins 400.
+    pnp_ransac_iter: int = 200
     pnp_required_ransac_conf: float = 0.99
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
@@ -202,36 +206,42 @@ def prepare_instance_crops(
             imf = imf / 255.0
         image = np.clip(np.round(imf * 255.0), 0, 255).astype(np.uint8)
 
-    crop_cams = []
     kept = []
     t0 = time.perf_counter()
     half_image = 0.5 * h * w
-    # Per-detection crop-camera math is scalar work; pinned to the CPU
-    # backend because each eager jnp dispatch on a tunneled accelerator is
-    # a ~100 ms host round trip (the same pathology profiled in
-    # gen_templates at ~0.5 s/template).
+    for det in instances:
+        # Skip degenerate detections covering more than half of the
+        # image (reference: scripts/infer.py:389-393, e.g. itodd false
+        # positives).
+        if det.mask is not None and det.mask.sum() > half_image:
+            continue
+        kept.append(det)
+    if not kept:
+        return []
+    # Crop-camera math runs BATCHED on the CPU backend: one vectorized
+    # build_crop_cameras call whose eager op count is constant in the
+    # detection count — the old per-box loop paid per-dispatch cost x N x
+    # ops, the pathology measured at ~161 ms/instance host prep in
+    # benchmarks/cli_throughput.py (parity: tests/test_cameras.py).
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         orig_cam = PinholeCamera.from_intrinsic_matrix(
             sample.K, width=w, height=h
         )
-        for det in instances:
-            # Skip degenerate detections covering more than half of the
-            # image (reference: scripts/infer.py:389-393, e.g. itodd false
-            # positives).
-            if det.mask is not None and det.mask.sum() > half_image:
-                continue
-            box = jnp.asarray(det.box_xyxy)
-            crop_box = cam_mod.calc_crop_box(box, make_square=True)
-            crop_cam = cam_mod.construct_crop_camera(
-                box=crop_box, camera_c2w=orig_cam,
+        batched_cams = jax.tree.map(
+            np.asarray,
+            cam_mod.build_crop_cameras(
+                orig_cam,
+                jnp.asarray(
+                    np.stack([d.box_xyxy for d in kept]), dtype=jnp.float32
+                ),
                 viewport_size=opts.crop_size,
                 viewport_rel_pad=opts.crop_rel_pad,
-            )
-            crop_cams.append(jax.tree.map(np.asarray, crop_cam))
-            kept.append(det)
+            ),
+        )
         orig_cam = jax.tree.map(np.asarray, orig_cam)
-    if not kept:
-        return []
+    crop_cams = [
+        jax.tree.map(lambda a: a[i], batched_cams) for i in range(len(kept))
+    ]
     # Pad the detection count up to a small set of buckets (multiples of 8)
     # so the jitted warp compiles once per bucket instead of once per
     # distinct per-image detection count (each fresh compile on the tunneled

@@ -51,7 +51,16 @@ class InferenceConfig:
     top_k_buddies: int = 300
     # Use TPU-optimized approximate top-k in the buddy selection.
     approx_topk: bool = False
-    pnp_ransac_iter: int = 400
+    # 200, not the reference's 400 (configs/infer/lmo.json): 400 is
+    # cv2.solvePnPRansac's adaptive-budget CAP, not a law, and our solver
+    # adds LO-RANSAC refits of the running best hypothesis which recover
+    # what extra random hypotheses would find. AR-gated on the cross-parity
+    # world at 200 crops x 2 seeds (benchmarks/ransac_sweep.py): 200x2-LO is
+    # AR-identical to 400x2-LO on both seeds (1.000/1.000 vs oracle
+    # 0.995/1.000) while 100-iter cells lose 0.5-1.5 pt. Halves the solve
+    # stage's hypothesis work. lmo_exact.json keeps 400 for strict
+    # reference-budget parity runs.
+    pnp_ransac_iter: int = 200
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
     lm_iters: int = 10

@@ -120,3 +120,45 @@ def test_box_from_mask():
     np.testing.assert_allclose(box, [8.0, 5.0, 14.0, 9.0])
     empty = np.asarray(box_from_mask(jnp.zeros((4, 4))))
     np.testing.assert_allclose(empty, 0.0)
+
+
+def test_build_crop_cameras_matches_per_box_loop():
+    """The batched crop-camera builder must agree exactly with the
+    per-detection construct_crop_camera loop it replaces (the loop's eager
+    op count scales with N; the batched call's does not)."""
+    import jax
+
+    from foundpose_tpu import cameras as cam_mod
+    from foundpose_tpu.structs import PinholeCamera
+
+    K = np.array([[600.0, 0, 320.0], [0, 580.0, 240.0], [0, 0, 1.0]])
+    cam = PinholeCamera.from_intrinsic_matrix(K, width=640, height=480)
+    boxes = jnp.asarray(
+        [
+            [40.0, 60.0, 180.0, 150.0],
+            [300.0, 100.0, 420.0, 310.0],
+            [10.0, 10.0, 630.0, 470.0],
+            [500.5, 399.25, 560.75, 440.0],
+        ],
+        dtype=jnp.float32,
+    )
+    batched = cam_mod.build_crop_cameras(
+        cam, boxes, viewport_size=(420, 420), viewport_rel_pad=0.2
+    )
+    for i in range(boxes.shape[0]):
+        single = cam_mod.construct_crop_camera(
+            box=cam_mod.calc_crop_box(boxes[i], make_square=True),
+            camera_c2w=cam,
+            viewport_size=(420, 420),
+            viewport_rel_pad=0.2,
+        )
+        got = jax.tree.map(lambda a: np.asarray(a)[i], batched)
+        np.testing.assert_allclose(np.asarray(got.f), np.asarray(single.f),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.c), np.asarray(single.c),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(got.T_world_from_eye),
+            np.asarray(single.T_world_from_eye), atol=1e-6,
+        )
+    assert batched.width == 420 and batched.height == 420

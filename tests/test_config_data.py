@@ -200,6 +200,9 @@ def test_shipped_infer_configs_engage_fast_path():
         assert opts.use_pallas_attention and opts.use_fused_block
         assert opts.approx_gelu and opts.approx_topk
         assert opts.compute_dtype == "bfloat16"
+        # AR-gated solve budget (benchmarks/ransac_sweep.py: 200x2-LO is
+        # AR-identical to 400x2-LO on 2 seeds x 200 crops).
+        assert opts.pnp_ransac_iter == 200 and opts.pnp_lo_iters == 2
         vit_cfg = dinov2.resolve_config(
             opts.extractor_name,
             use_pallas_attention=opts.use_pallas_attention,
@@ -228,6 +231,7 @@ def test_shipped_infer_configs_engage_fast_path():
     )
     assert not exact.use_fused_block and not exact.approx_gelu
     assert exact.compute_dtype == "float32" and not exact.approx_topk
+    assert exact.pnp_ransac_iter == 400  # strict reference budget
     assert exact.vit_overrides is None
 
 
