@@ -51,6 +51,7 @@ def main():
     from foundpose_tpu.engine import PoseEngine
     from foundpose_tpu.models import bench_weights, dinov2
     from foundpose_tpu.pipeline import inference
+    from foundpose_tpu.ops.warp import make_single_image_warp
     from foundpose_tpu.structs import PinholeCamera
     from foundpose_tpu.utils.profiling import device_time_scan, force_execution
 
@@ -140,8 +141,28 @@ def main():
             )
 
         dev_s = device_time_scan(step_fn, crops, masks, cams, repre, keys)
+
+        # Pure device time of the FUSED serving program (what estimate()
+        # actually dispatches since round 4): full image -> warp -> step ->
+        # packed poses, ONE program. This is the true device time-to-pose.
+        img_f, orig_cam, batched_cams, _ = eng._prepare_cams(image, boxes, K)
+        mask_full = jnp.asarray(eng._mask_stack([None] * b, 480, 640))
+        dst = jax.tree.map(jnp.asarray, batched_cams)
+        warp = make_single_image_warp(tuple(config.crop_size))
+
+        def fused_body(im, mk, oc, dc, r):
+            cr, cm = warp(im, mk, oc, dc)
+            out = inference.pose_from_crops(
+                params, vit_cfg, cr, cm, dc, r, jax.random.PRNGKey(1), config
+            )
+            return PoseEngine._pack_outputs(out)
+
+        fused_s = device_time_scan(
+            fused_body, jnp.asarray(img_f), mask_full, orig_cam, dst, repre
+        )
         per_batch[b] = {
             "device_ms_per_step": round(dev_s * 1e3, 2),
+            "fused_device_ms_time_to_pose": round(fused_s * 1e3, 2),
             "device_crops_per_sec": round(b / dev_s, 2),
             "engine_wall_ms_p50": round(float(np.percentile(wall_ms, 50)), 1),
             "engine_wall_ms_p95": round(float(np.percentile(wall_ms, 95)), 1),
@@ -155,10 +176,12 @@ def main():
         "reps": REPS,
         "tunnel_dispatch_ms_median": round(tunnel_ms, 1),
         "note": (
-            "engine wall includes this host's per-dispatch tunnel round "
-            "trips (warp program + step program + fetch); "
-            "device_ms_per_step is the per-batch device compute a locally "
-            "attached chip pays"
+            "engine wall includes this host's tunnel round trips (the "
+            "fused serving path pays ONE dispatch + one fetch) plus "
+            "single-core host prep; fused_device_ms_time_to_pose is the "
+            "device time of the whole image->poses program a locally "
+            "attached chip pays; device_ms_per_step is the crop-level "
+            "pose step alone"
         ),
         "per_batch": per_batch,
     }))

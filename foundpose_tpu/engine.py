@@ -13,6 +13,7 @@ overlaps host-side unpacking (jax dispatch is asynchronous).
 from __future__ import annotations
 
 import collections
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -32,6 +33,38 @@ def _make_single_image_warp(crop_size: Tuple[int, int]):
     return make_single_image_warp(crop_size)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_fused_serve(vit_cfg, config, crop_size, _interpret_token):
+    """ONE jitted program for the whole serving call: full image in ->
+    packed poses out (crop warp -> ViT -> retrieval -> PnP -> output pack).
+
+    The chunked path dispatches ~5 separate device programs per call (warp,
+    crop gather, pose step, output pack, PRNG key build) plus per-leaf
+    uploads; each dispatch is a host round trip — ~31 ms over an RPC tunnel
+    (benchmarks/latency.py), and nonzero even on PCIe. Fusing them collapses
+    a batch<=batch_size `estimate()` to one dispatch + one fetch. The fused
+    program recompiles per image resolution (serving cameras are fixed-res
+    in practice); results are bit-identical to the chunked path, which
+    remains for n > batch_size and mesh execution (tests/test_engine.py).
+    """
+    import jax
+
+    from foundpose_tpu.ops.warp import make_single_image_warp
+
+    warp = make_single_image_warp(crop_size)
+
+    @jax.jit
+    def fused(params, image, masks, src_cam, dst_cams, repre, counter):
+        crops, crop_masks = warp(image, masks, src_cam, dst_cams)
+        key = jax.random.PRNGKey(counter)
+        out = inference.pose_from_crops(
+            params, vit_cfg, crops, crop_masks, dst_cams, repre, key, config
+        )
+        return PoseEngine._pack_outputs(out)
+
+    return fused
+
+
 class PoseEngine:
     # Class defaults so engines assembled field-by-field (tests, embedders)
     # predate the mesh feature gracefully: no mesh unless one is configured.
@@ -42,6 +75,11 @@ class PoseEngine:
     # bank-sharded repre in device memory, so an unbounded cache leaks HBM
     # in serving processes that rotate through many objects.
     max_cached_mesh_steps = 8
+    # Single-dispatch serving: estimate() calls with n <= batch_size on a
+    # single chip run the fused image->poses program (_jit_fused_serve).
+    # Off switches back to the chunked multi-dispatch path (used by the
+    # equality test and as an escape hatch).
+    fuse_single_call = True
 
     def __init__(
         self,
@@ -154,8 +192,9 @@ class PoseEngine:
 
     # -- shared prep / dispatch -----------------------------------------------
 
-    def _prepare_crops(self, image, boxes_xyxy, masks, K):
-        """Crop cameras + batched warped crops/masks for one image."""
+    def _prepare_cams(self, image, boxes_xyxy, K):
+        """Host-side camera math for one image: normalized f32 image, the
+        image camera, batched crop cameras (numpy leaves) + per-box views."""
         import jax
         import jax.numpy as jnp
 
@@ -185,25 +224,91 @@ class PoseEngine:
             jax.tree.map(lambda a: a[i], batched_cams)
             for i in range(len(boxes_xyxy))
         ]
-        dst_cams = jax.tree.map(jnp.asarray, batched_cams)
-        mask_stack = jnp.asarray(
-            np.stack(
-                [
-                    np.asarray(m if m is not None else np.ones((h, w))).astype(
-                        np.float32
-                    )
-                    for m in masks
-                ]
-            )
+        return img, orig_cam, batched_cams, crop_cams
+
+    @staticmethod
+    def _mask_stack(masks, h, w):
+        return np.stack(
+            [
+                np.asarray(m if m is not None else np.ones((h, w))).astype(
+                    np.float32
+                )
+                for m in masks
+            ]
         )
+
+    def _prepare_crops(self, image, boxes_xyxy, masks, K):
+        """Crop cameras + batched warped crops/masks for one image."""
+        import jax
+        import jax.numpy as jnp
+
+        h, w = image.shape[:2]
+        img, orig_cam, batched_cams, crop_cams = self._prepare_cams(
+            image, boxes_xyxy, K
+        )
+        dst_cams = jax.tree.map(jnp.asarray, batched_cams)
+        mask_stack = jnp.asarray(self._mask_stack(masks, h, w))
         crops, crop_masks = self._warp_single(
             jnp.asarray(img), mask_stack, orig_cam, dst_cams
         )
         return crop_cams, crops, crop_masks
 
+    def _estimate_fused(self, repre, image, boxes_xyxy, masks, K):
+        """Single-dispatch serving call: pads the detection set to the engine
+        batch size ON THE HOST (cameras + masks; pads repeat the last
+        detection, exactly what the chunked path's gather pads produce), then
+        runs the ONE fused image->packed-poses program and fetches once.
+        Bit-identical to the chunked path (tests/test_engine.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        h, w = image.shape[:2]
+        n = len(boxes_xyxy)
+        pad = self.batch_size - n
+        img, orig_cam, batched_cams, crop_cams = self._prepare_cams(
+            image, boxes_xyxy, K
+        )
+        padded_cams = jax.tree.map(
+            lambda a: np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            if pad
+            else a,
+            batched_cams,
+        )
+        mask_stack = self._mask_stack(list(masks) + [masks[-1]] * pad, h, w)
+
+        fused = _jit_fused_serve(
+            self.vit_cfg,
+            self.config,
+            tuple(self.config.crop_size),
+            inference.pallas_interpret_token(),
+        )
+        self._counter += 1
+        packed = fused(
+            self.vit_params,
+            jnp.asarray(img),
+            jnp.asarray(mask_stack),
+            orig_cam,
+            jax.tree.map(jnp.asarray, padded_cams),
+            repre,
+            np.uint32(self._counter),
+        )
+        p = np.asarray(packed)  # ONE transfer
+        return [
+            {
+                "success": bool(p[j, 0] > 0.5),
+                "R_m2c": p[j, 4:13].reshape(3, 3),
+                "t_m2c": p[j, 13:16],
+                "quality": float(p[j, 1]),
+                "score": float(p[j, 2]),
+                "best_template": int(p[j, 3]),
+                "crop_camera": crop_cams[j],
+            }
+            for j in range(n)
+        ]
+
     @staticmethod
     def _pack_outputs(out):
-        """Packs the serving-consumed PoseOutputs fields into ONE [B, 15]
+        """Packs the serving-consumed PoseOutputs fields into ONE [B, 16]
         f32 array (success, quality, score, best_template, R_m2w.flat,
         t_m2w) so unpacking costs a single device->host transfer. Per-leaf
         np.asarray fetches pay one transfer round trip EACH — ~16 x 31 ms
@@ -299,6 +404,12 @@ class PoseEngine:
         repre = self._repres[obj_id]
         n = len(boxes_xyxy)
         mask_seq = masks if masks is not None else [None] * n
+        if (
+            self.fuse_single_call
+            and self._mesh is None
+            and n <= self.batch_size
+        ):
+            return self._estimate_fused(repre, image, boxes_xyxy, mask_seq, K)
         crop_cams, crops, crop_masks = self._prepare_crops(
             image, boxes_xyxy, mask_seq, K
         )

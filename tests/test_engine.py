@@ -219,3 +219,63 @@ def test_engine_mesh_mixed_and_tp(rng):
     for r in out_tp_mixed:
         assert r["R_m2c"].shape == (3, 3)
         assert np.isfinite(r["t_m2c"]).all()
+
+
+def test_engine_fused_equals_chunked(rng):
+    """The single-dispatch fused serving program (image -> packed poses in
+    one jit) must match the chunked multi-dispatch path bit-for-bit: same
+    PRNG counter stream, and host-padded cameras/masks reproduce exactly
+    what the chunked path's gather pads produce."""
+    import jax
+
+    def build():
+        eng = engine_mod.PoseEngine.__new__(engine_mod.PoseEngine)
+        cfg = dinov2.DinoV2Config(
+            variant="vits14", embed_dim=32, depth=2, num_heads=2,
+            mlp_ratio=4.0, swiglu=False, patch_size=14,
+            num_register_tokens=4, pos_grid=6, stride=14, facet="token",
+            layer=1, apply_norm=True,
+        )
+        eng.vit_cfg = cfg
+        eng.vit_params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+        eng.config = inference.InferenceConfig(
+            crop_size=(84, 84), grid_cell_size=14.0, top_n_templates=2,
+            top_k_buddies=16, pnp_ransac_iter=50, lm_iters=3,
+        )
+        eng.batch_size = 4
+        eng._repres = {}
+        eng._step = inference.jit_pose_from_crops(cfg, eng.config)
+        eng._warp_single = engine_mod._make_single_image_warp(
+            eng.config.crop_size
+        )
+        eng._multi_cache = None
+        eng._counter = 0
+        return eng
+
+    world_rng = np.random.default_rng(11)
+    repre, *_ = make_synthetic_world(world_rng, feat_dim=32)
+    image = (world_rng.uniform(size=(240, 320, 3)) * 255).astype(np.uint8)
+    K = np.array([[300.0, 0, 159.5], [0, 300.0, 119.5], [0, 0, 1]])
+    boxes = [
+        np.array([80.0, 60.0, 180.0, 160.0]),
+        np.array([100.0, 80.0, 220.0, 200.0]),
+    ]
+
+    eng_f = build()
+    eng_f.register_object(3, repre)
+    assert eng_f.fuse_single_call  # n=2 <= batch_size=4 -> fused
+    out_f = eng_f.estimate(3, image, boxes, K)
+
+    eng_c = build()
+    eng_c.fuse_single_call = False
+    eng_c.register_object(3, repre)
+    out_c = eng_c.estimate(3, image, boxes, K)
+
+    assert len(out_f) == len(out_c) == 2
+    for f, c in zip(out_f, out_c):
+        assert f["success"] == c["success"]
+        assert f["best_template"] == c["best_template"]
+        np.testing.assert_allclose(f["R_m2c"], c["R_m2c"], rtol=0, atol=0)
+        np.testing.assert_allclose(f["t_m2c"], c["t_m2c"], rtol=0, atol=0)
+        np.testing.assert_allclose(f["score"], c["score"], rtol=0, atol=0)
+        assert f["crop_camera"].width == c["crop_camera"].width
