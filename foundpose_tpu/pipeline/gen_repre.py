@@ -32,6 +32,7 @@ from foundpose_tpu.repre import ObjectRepre, make_repre, save_repre
 from foundpose_tpu.structs import PinholeCamera
 from foundpose_tpu.utils import config as config_util
 from foundpose_tpu.utils.logging_util import Timer, get_logger, log_heading
+from foundpose_tpu.utils.profiling import force_execution
 
 logger = get_logger()
 
@@ -108,10 +109,14 @@ def _load_one_template(item: dict, templates_dir: Optional[str]):
     depth = load_depth_png(resolve(item["depth_map_path"]))
     mask = np.asarray(Image.open(resolve(item["binary_mask_path"]))) > 0
     cam = camera_from_json(item["cameras"])
+    # rgb/mask stay uint8 on the host; the registration program converts on
+    # device (same design as the online uint8 crop flow, inference.py:527).
+    # At LM-O scale this quarters host memory (2.9 GB -> 0.9 GB), the f32
+    # conversion work on the 1-core host, and the host->device bytes.
     return (
-        img.astype(np.float32) / 255.0,
+        img,
         depth,
-        mask.astype(np.float32),
+        mask.astype(np.uint8),
         np.asarray(cam.f, dtype=np.float32),
         np.asarray(cam.c, dtype=np.float32),
         np.asarray(cam.T_world_from_eye, dtype=np.float32),
@@ -146,8 +151,9 @@ def load_template_arrays(
 def make_registration_fn(vit_cfg, grid_cell_size: float, crop_size: Tuple[int, int]):
     """Builds the jitted per-chunk feature-registration function.
 
-    chunk: (images [B,H,W,3], depths [B,H,W], masks [B,H,W], cam_f [B,2],
-    cam_c [B,2], cam_t [B,4,4]) -> (feats [B,Q,D], verts [B,Q,3], valid [B,Q]).
+    chunk: (images [B,H,W,3] uint8 or f32 in [0,1], depths [B,H,W] f32,
+    masks [B,H,W] any dtype, cam_f [B,2], cam_c [B,2], cam_t [B,4,4])
+    -> (feats [B,Q,D], verts [B,Q,3], valid [B,Q]).
     (reference per-template equivalent: utils/feature_util.py:160-237)
     """
     import jax
@@ -155,6 +161,11 @@ def make_registration_fn(vit_cfg, grid_cell_size: float, crop_size: Tuple[int, i
 
     @jax.jit
     def register(params, images, depths, masks, cam_f, cam_c, cam_t):
+        # uint8 templates convert on device (see _load_one_template).
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        if masks.dtype != jnp.float32:
+            masks = masks.astype(jnp.float32)
         fmaps = dinov2.extract_facet(
             params, vit_cfg, dinov2.normalize_images(images)
         )["feature_maps"]
@@ -218,6 +229,14 @@ def generate_repre(
     register = make_registration_fn(vit_cfg, opts.grid_cell_size, (w, h))
 
     # Batched chunks (pad the last one to keep a single compiled shape).
+    # Registration outputs STAY ON DEVICE: this host's tunneled chip fetches
+    # at ~1-3 MB/s (uploads run ~700 MB/s), so the round-3 per-chunk
+    # np.asarray fetches (~22 MB/chunk, ~1.1 GB/object) dominated the stage
+    # (130 s -> device-resident ~seconds). All downstream banks are built on
+    # padded [T*Q] arrays with a validity mask instead of host-compacted
+    # data-dependent sizes, so every post-registration program has a shape
+    # that is CONSTANT per dataset config and compiles once (the compacted
+    # path recompiled PCA/k-means/tf-idf for every object).
     num_t = len(images)
     bs = opts.batch_size
     feats_l, verts_l, valid_l = [], [], []
@@ -242,38 +261,58 @@ def generate_repre(
             jnp.asarray(pad0(cam_t)),
         )
         n = e - s
-        feats_l.append(np.asarray(f)[:n])
-        verts_l.append(np.asarray(v)[:n])
-        valid_l.append(np.asarray(m)[:n])
-    feats = np.concatenate(feats_l)  # [T, Q, D]
-    verts = np.concatenate(verts_l)
-    valid = np.concatenate(valid_l)
+        # Force THIS chunk's execution now (scalar-checksum fetch): on the
+        # deferred-execution tunnel, letting 50 chunk programs pile up
+        # unmaterialized makes the final materialization superlinear in the
+        # deferred-graph size (measured: 0.4 s/chunk forced per-chunk vs
+        # 15.7 s/chunk when all 50 defer to one force — 785 s/object). On a
+        # locally attached chip this is an ordinary per-dispatch sync.
+        force_execution(f)
+        feats_l.append(f[:n])
+        verts_l.append(v[:n])
+        valid_l.append(m[:n])
+    feats = jnp.concatenate(feats_l)  # [T, Q, D] (device)
+    verts = jnp.concatenate(verts_l)  # [T, Q, 3]
+    valid = jnp.concatenate(valid_l)  # [T, Q]
+    num_q = feats.shape[1]
+    flat_feats_dev = feats.reshape(-1, feats.shape[-1])  # [T*Q, D]
+    mask_dev = valid.reshape(-1)
+    tids_dev = jnp.repeat(jnp.arange(num_t, dtype=jnp.int32), num_q)
+    # force_execution, not block_until_ready: on deferred-execution backends
+    # (the axon tunnel) block_until_ready is a no-op on the client future and
+    # the whole stage would silently execute inside the NEXT stage's timer.
+    force_execution(flat_feats_dev)
     timer.elapsed("Feature registration")
 
-    # Flatten to valid-only arrays (host-side; sizes become static again).
-    t_ids = np.repeat(np.arange(num_t, dtype=np.int32)[:, None], feats.shape[1], 1)
-    sel = valid.reshape(-1)
-    flat_feats = feats.reshape(-1, feats.shape[-1])[sel]
-    flat_verts = verts.reshape(-1, 3)[sel]
-    flat_tids = t_ids.reshape(-1)[sel]
-    logger.info(f"Registered {len(flat_feats)} features over {num_t} templates.")
+    # The only mid-pipeline fetch: the [T*Q] validity mask (~1 MB), used for
+    # the PCA subsample draw and the final compaction gather.
+    flat_valid = np.asarray(mask_dev)
+    flat_idx = np.nonzero(flat_valid)[0].astype(np.int32)
+    n_valid = len(flat_idx)
+    logger.info(f"Registered {n_valid} features over {num_t} templates.")
 
-    # PCA projection (reference: scripts/gen_repre.py:272-286).
+    # PCA projection (reference: scripts/gen_repre.py:272-286). The fit
+    # subsample is drawn uniformly over VALID features, as before (the draw
+    # itself differs from round 3's compacted-index draw; same distribution).
     projector = None
     if opts.apply_pca:
         timer.start()
-        cap = min(opts.max_num_feats_for_pca, len(flat_feats))
+        cap = min(opts.max_num_feats_for_pca, n_valid)
         rng = np.random.default_rng(0)
-        sub = rng.choice(len(flat_feats), size=cap, replace=False)
+        sub = rng.choice(flat_idx, size=cap, replace=False)
         projector = fit_pca(
-            jnp.asarray(flat_feats[sub]),
+            flat_feats_dev[jnp.asarray(sub)],
             num_components=opts.pca_components,
             whiten=opts.pca_whiten,
         )
-        flat_feats = np.asarray(pca_transform(projector, jnp.asarray(flat_feats)))
+        pfeats = pca_transform(projector, flat_feats_dev)  # [T*Q, C] device
+        force_execution(pfeats)
         timer.elapsed("PCA")
+    else:
+        pfeats = flat_feats_dev
 
-    # Visual words (reference: scripts/gen_repre.py:289-311).
+    # Visual words (reference: scripts/gen_repre.py:289-311). k-means sees
+    # the padded bank with a sample mask — padded rows contribute nothing.
     tfidf_cfg = TfidfConfig(
         knn_k=opts.tfidf_knn_k,
         metric=opts.tfidf_knn_metric,
@@ -283,25 +322,40 @@ def generate_repre(
     if opts.cluster_features:
         timer.start()
         km = kmeans(
-            jnp.asarray(flat_feats),
-            num_clusters=min(opts.cluster_num, len(flat_feats)),
+            pfeats,
+            num_clusters=min(opts.cluster_num, n_valid),
             key=jax.random.PRNGKey(0),
+            sample_mask=mask_dev,
         )
-        words = np.asarray(km.centroids)
+        words = km.centroids
+        force_execution(words)
         timer.elapsed("k-means")
     else:
-        words = flat_feats[: opts.cluster_num]
+        words = pfeats[jnp.asarray(flat_idx[: opts.cluster_num])]
 
     # tf-idf template descriptors (reference: scripts/gen_repre.py:313-346).
     timer.start()
     descs, idfs = calc_template_tfidf_descriptors(
-        jnp.asarray(flat_feats),
-        jnp.asarray(flat_tids),
-        jnp.asarray(words),
+        pfeats,
+        tids_dev,
+        words,
         num_templates=num_t,
         config=tfidf_cfg,
+        feature_mask=mask_dev,
     )
+    force_execution((descs, idfs))
     timer.elapsed("tf-idf descriptors")
+
+    # Final artifact fetch: ONE compaction gather on device per bank, then a
+    # single download each (the 190 MB feature bank is the unavoidable cost
+    # of persisting the artifact; on a PCIe-attached host it is ~0.1 s).
+    timer.start()
+    sel_dev = jnp.asarray(flat_idx)
+    flat_feats = np.asarray(pfeats[sel_dev])
+    flat_verts = np.asarray(verts.reshape(-1, 3)[sel_dev])
+    flat_tids = (flat_idx // num_q).astype(np.int32)
+    words = np.asarray(words)
+    timer.elapsed("Artifact fetch")
 
     cameras = PinholeCamera(
         f=jnp.asarray(cam_f),

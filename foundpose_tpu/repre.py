@@ -178,7 +178,11 @@ def save_repre(repre: ObjectRepre, repre_dir: str) -> None:
         arrays["pca_variance"] = np.asarray(repre.raw_projector.explained_variance)
     if repre.templates is not None:
         arrays["templates"] = np.asarray(repre.templates)
-    np.savez_compressed(os.path.join(repre_dir, "repre.npz"), **arrays)
+    # Uncompressed on purpose: the payload is ~190 MB of f32 feature banks
+    # that zlib shrinks <10% while costing ~60 s of single-core CPU per
+    # object (measured, benchmarks/builder_full_scale.py); np.load reads
+    # either format, so existing compressed artifacts stay loadable.
+    np.savez(os.path.join(repre_dir, "repre.npz"), **arrays)
     meta = {
         "tfidf_config": repre.tfidf_config._asdict(),
         "extractor_name": repre.extractor_name,
