@@ -41,6 +41,14 @@ OBJ_ID = 1
 # CPU stages / 8; methodology in BASELINE.md §offline).
 REF_GEN_TEMPLATES_S = 30.1  # adjusted_s_per_object, gen_templates stage
 REF_GEN_REPRE_S = 11.3  # adjusted_s_per_object, gen_repre stage
+# Same-host RAW measurements of the reference replica (no hardware grants):
+# the apples-to-apples comparison on this 1-core dev host, where the
+# adjusted numbers above instead grant the reference an 8-core CPU, a GL
+# renderer, and a datacenter GPU it would need different hardware to have.
+# (The replica's gen_templates figure EXCLUDES its unmeasurable GL render,
+# i.e. it is still reference-favoring.)
+REF_SAME_HOST_GEN_TEMPLATES_S = 209.2
+REF_SAME_HOST_GEN_REPRE_S = 679.0
 
 
 class _StageTimeCapture(logging.Handler):
@@ -228,6 +236,9 @@ def main():
             "method": "measured replica, reference-favoring "
                       "(BASELINE.md section offline)",
         }
+        # Same-host raw ratio (no hardware grants; see the constant's note).
+        ref_same_host = REF_SAME_HOST_GEN_TEMPLATES_S + REF_SAME_HOST_GEN_REPRE_S
+        result["vs_reference_same_host"] = round(ref_same_host / total_s, 2)
     print(json.dumps(result))
 
 

@@ -105,18 +105,39 @@ def _load_one_template(item: dict, templates_dir: Optional[str]):
         tail = os.path.join(*path.replace("\\", "/").split("/")[-2:])
         return os.path.join(templates_dir, tail)
 
-    img = np.asarray(Image.open(resolve(item["rgb_image_path"])).convert("RGB"))
-    depth = load_depth_png(resolve(item["depth_map_path"]))
-    mask = np.asarray(Image.open(resolve(item["binary_mask_path"]))) > 0
+    import cv2
+
+    # cv2's PNG decoder measured ~1.7x PIL's for the rgb templates (2.0 vs
+    # 3.4 ms each; x798 x2 stages it is seconds of 1-core wall per object).
+    bgr = cv2.imread(resolve(item["rgb_image_path"]), cv2.IMREAD_COLOR)
+    if bgr is not None:
+        img = np.ascontiguousarray(bgr[:, :, ::-1])
+    else:  # non-PNG/odd formats: PIL handles everything
+        img = np.asarray(Image.open(resolve(item["rgb_image_path"])).convert("RGB"))
+    # Raw 16-bit PNG units (0.1 mm); the registration program converts to
+    # f32 mm on device. rgb/depth/mask all stay in their narrowest dtype on
+    # the host (uint8/uint16/uint8): the registration stage is host->device
+    # LINK bound on tunneled dev backends (~35 MB/s measured) and the f32
+    # template set was 2.9 GB/object; narrow dtypes cut that to ~0.7 GB.
+    depth = np.asarray(Image.open(resolve(item["depth_map_path"]))).astype(
+        np.uint16
+    )
+    # Templates written by our gen_templates record that their mask PNG is
+    # exactly (depth > 0) ("mask_is_depth_positive"); for those the mask is
+    # neither decoded nor uploaded — the registration program derives it
+    # from the depth it already has. Reference-made templates (no flag)
+    # keep the explicit mask.
+    if item.get("mask_is_depth_positive"):
+        mask = None
+    else:
+        mask = (
+            np.asarray(Image.open(resolve(item["binary_mask_path"]))) > 0
+        ).astype(np.uint8)
     cam = camera_from_json(item["cameras"])
-    # rgb/mask stay uint8 on the host; the registration program converts on
-    # device (same design as the online uint8 crop flow, inference.py:527).
-    # At LM-O scale this quarters host memory (2.9 GB -> 0.9 GB), the f32
-    # conversion work on the 1-core host, and the host->device bytes.
     return (
         img,
         depth,
-        mask.astype(np.uint8),
+        mask,
         np.asarray(cam.f, dtype=np.float32),
         np.asarray(cam.c, dtype=np.float32),
         np.asarray(cam.T_world_from_eye, dtype=np.float32),
@@ -137,10 +158,23 @@ def load_template_arrays(
     """
     loaded = [_load_one_template(item, templates_dir) for item in metadata]
     images, depths, masks, cam_f, cam_c, cam_t, whs = zip(*loaded)
+    if all(m is None for m in masks):
+        # Every template's mask is (depth > 0): skip the [T, H, W] stack and
+        # let the registration program derive it on device (see
+        # _load_one_template). Mixed metadata (merged with reference-made
+        # templates) materializes the missing ones so one code path remains.
+        masks_arr = None
+    else:
+        masks_arr = np.stack(
+            [
+                (d > 0).astype(np.uint8) if m is None else m
+                for m, d in zip(masks, depths)
+            ]
+        )
     return (
         np.stack(images),
         np.stack(depths),
-        np.stack(masks),
+        masks_arr,
         np.stack(cam_f),
         np.stack(cam_c),
         np.stack(cam_t),
@@ -148,11 +182,19 @@ def load_template_arrays(
     )
 
 
-def make_registration_fn(vit_cfg, grid_cell_size: float, crop_size: Tuple[int, int]):
+def make_registration_fn(
+    vit_cfg,
+    grid_cell_size: float,
+    crop_size: Tuple[int, int],
+    mask_from_depth: bool = False,
+):
     """Builds the jitted per-chunk feature-registration function.
 
-    chunk: (images [B,H,W,3] uint8 or f32 in [0,1], depths [B,H,W] f32,
-    masks [B,H,W] any dtype, cam_f [B,2], cam_c [B,2], cam_t [B,4,4])
+    chunk: (images [B,H,W,3] uint8 or f32 in [0,1], depths [B,H,W] f32 mm or
+    uint16 0.1mm-units, masks [B,H,W] any dtype — or None with
+    mask_from_depth=True, where the mask is derived as depth > 0 on device
+    (our gen_templates guarantees that identity, see "mask_is_depth_positive"),
+    cam_f [B,2], cam_c [B,2], cam_t [B,4,4])
     -> (feats [B,Q,D], verts [B,Q,3], valid [B,Q]).
     (reference per-template equivalent: utils/feature_util.py:160-237)
     """
@@ -161,10 +203,14 @@ def make_registration_fn(vit_cfg, grid_cell_size: float, crop_size: Tuple[int, i
 
     @jax.jit
     def register(params, images, depths, masks, cam_f, cam_c, cam_t):
-        # uint8 templates convert on device (see _load_one_template).
+        # uint8/uint16 templates convert on device (see _load_one_template).
         if images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
-        if masks.dtype != jnp.float32:
+        if depths.dtype == jnp.uint16:
+            depths = depths.astype(jnp.float32) / 10.0  # 0.1mm units -> mm
+        if mask_from_depth:
+            masks = (depths > 0).astype(jnp.float32)
+        elif masks.dtype != jnp.float32:
             masks = masks.astype(jnp.float32)
         fmaps = dinov2.extract_facet(
             params, vit_cfg, dinov2.normalize_images(images)
@@ -226,21 +272,26 @@ def generate_repre(
     )
     timer.elapsed("Template loading")
 
-    register = make_registration_fn(vit_cfg, opts.grid_cell_size, (w, h))
+    register = make_registration_fn(
+        vit_cfg, opts.grid_cell_size, (w, h), mask_from_depth=masks is None
+    )
 
     # Batched chunks (pad the last one to keep a single compiled shape).
-    # Registration outputs STAY ON DEVICE: this host's tunneled chip fetches
-    # at ~1-3 MB/s (uploads run ~700 MB/s), so the round-3 per-chunk
-    # np.asarray fetches (~22 MB/chunk, ~1.1 GB/object) dominated the stage
-    # (130 s -> device-resident ~seconds). All downstream banks are built on
-    # padded [T*Q] arrays with a validity mask instead of host-compacted
-    # data-dependent sizes, so every post-registration program has a shape
-    # that is CONSTANT per dataset config and compiles once (the compacted
-    # path recompiled PCA/k-means/tf-idf for every object).
+    # Registration outputs STAY ON DEVICE: this host's tunneled chip moves
+    # data at ~35 MB/s up and less down (measured 2026-08-19), so the
+    # round-3 per-chunk np.asarray fetches (~22 MB/chunk, ~1.1 GB/object)
+    # dominated the stage; with device-resident outputs the stage cost is
+    # the INPUT upload, which is why rgb/depth ship as uint8/uint16 and the
+    # mask is derived on device (see _load_one_template). All downstream
+    # banks are built on padded [T*Q] arrays with a validity mask instead of
+    # host-compacted data-dependent sizes, so every post-registration
+    # program has a shape that is CONSTANT per dataset config and compiles
+    # once (the compacted path recompiled PCA/k-means/tf-idf per object).
     num_t = len(images)
     bs = opts.batch_size
     feats_l, verts_l, valid_l = [], [], []
     timer.start()
+    pending = None  # previous chunk, not yet forced
     for s in range(0, num_t, bs):
         e = min(s + bs, num_t)
         pad = bs - (e - s)
@@ -255,22 +306,31 @@ def generate_repre(
             vit_params,
             jnp.asarray(pad0(images)),
             jnp.asarray(pad0(depths)),
-            jnp.asarray(pad0(masks)),
+            None if masks is None else jnp.asarray(pad0(masks)),
             jnp.asarray(pad0(cam_f)),
             jnp.asarray(pad0(cam_c)),
             jnp.asarray(pad0(cam_t)),
         )
-        n = e - s
-        # Force THIS chunk's execution now (scalar-checksum fetch): on the
+        # One-chunk force window: the PREVIOUS chunk is forced only after
+        # this chunk's uploads + dispatch are issued, overlapping one
+        # chunk's host->device transfer with the force-wait of the last.
+        # Forcing every chunk (rather than none) stays essential: on the
         # deferred-execution tunnel, letting 50 chunk programs pile up
         # unmaterialized makes the final materialization superlinear in the
         # deferred-graph size (measured: 0.4 s/chunk forced per-chunk vs
         # 15.7 s/chunk when all 50 defer to one force — 785 s/object). On a
         # locally attached chip this is an ordinary per-dispatch sync.
-        force_execution(f)
-        feats_l.append(f[:n])
-        verts_l.append(v[:n])
-        valid_l.append(m[:n])
+        if pending is not None:
+            force_execution(pending[0])
+            feats_l.append(pending[0][: pending[3]])
+            verts_l.append(pending[1][: pending[3]])
+            valid_l.append(pending[2][: pending[3]])
+        pending = (f, v, m, e - s)
+    if pending is not None:
+        force_execution(pending[0])
+        feats_l.append(pending[0][: pending[3]])
+        verts_l.append(pending[1][: pending[3]])
+        valid_l.append(pending[2][: pending[3]])
     feats = jnp.concatenate(feats_l)  # [T, Q, D] (device)
     verts = jnp.concatenate(verts_l)  # [T, Q, 3]
     valid = jnp.concatenate(valid_l)  # [T, Q]
@@ -334,15 +394,21 @@ def generate_repre(
         words = pfeats[jnp.asarray(flat_idx[: opts.cluster_num])]
 
     # tf-idf template descriptors (reference: scripts/gen_repre.py:313-346).
+    # One jitted program: eagerly, the chunked word assignment issues ~50
+    # ops whose deferred-graph materialization cost 44 s of the stage on the
+    # tunneled backend (same pathology as the registration chunks); compiled
+    # it is a single dispatch.
     timer.start()
-    descs, idfs = calc_template_tfidf_descriptors(
-        pfeats,
-        tids_dev,
-        words,
-        num_templates=num_t,
-        config=tfidf_cfg,
-        feature_mask=mask_dev,
+    from functools import partial as _partial
+
+    tfidf_fn = jax.jit(
+        _partial(
+            calc_template_tfidf_descriptors,
+            num_templates=num_t,
+            config=tfidf_cfg,
+        )
     )
+    descs, idfs = tfidf_fn(pfeats, tids_dev, words, feature_mask=mask_dev)
     force_execution((descs, idfs))
     timer.elapsed("tf-idf descriptors")
 

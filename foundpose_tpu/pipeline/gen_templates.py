@@ -158,51 +158,73 @@ def synthesize_templates_for_object(
     template_counter = 0
     timer = Timer(logger=logger)
 
+    # Collect every view up front so the crop-camera math runs ONCE,
+    # batched over all ~800 views: the per-view eager-jnp version cost two
+    # CPU-jit dispatches per template (~0.1 s of the 0.21 s/template wall);
+    # one vectorized call over the view axis is milliseconds total.
+    all_views: List[dict] = []
     for radius in radii:
         views = cam_mod.sample_views(opts.min_num_viewpoints, radius=radius)
-        views = cam_mod.inplane_rotated_views(views, opts.num_inplane_rotations)
-        for view in views:
+        all_views.extend(
+            cam_mod.inplane_rotated_views(views, opts.num_inplane_rotations)
+        )
+    num_views = len(all_views)
+    rs = np.stack([v["R"] for v in all_views]).astype(np.float64)  # [N,3,3]
+    ts = np.stack([np.reshape(v["t"], 3) for v in all_views]).astype(np.float64)
+
+    # Analytic object boxes in the base camera, all views at once. The
+    # [N, V, 3] intermediate is chunked so high-poly meshes (BOP models run
+    # up to ~300k vertices) stay within a few hundred MB of host memory.
+    boxes = np.empty((num_views, 4), dtype=np.float32)
+    vchunk = max(1, int(2e7) // max(len(mesh.vertices), 1))
+    for s in range(0, num_views, vchunk):
+        e = min(s + vchunk, num_views)
+        vc = np.einsum("nij,vj->nvi", rs[s:e], mesh.vertices) + ts[s:e, None, :]
+        proj_c = vc[:, :, :2] / vc[:, :, 2:3] * np.asarray(base_f) + base_c
+        boxes[s:e, 0] = proj_c[:, :, 0].min(axis=1)
+        boxes[s:e, 1] = proj_c[:, :, 1].min(axis=1)
+        boxes[s:e, 2] = proj_c[:, :, 0].max(axis=1)
+        boxes[s:e, 3] = proj_c[:, :, 1].max(axis=1)
+
+    # Camera->world (model frame) per view: inv([R|t]) = [R^T | -R^T t].
+    t_c2w_all = np.zeros((num_views, 4, 4), dtype=np.float32)
+    t_c2w_all[:, :3, :3] = np.transpose(rs, (0, 2, 1))
+    t_c2w_all[:, :3, 3] = -np.einsum("nji,nj->ni", rs, ts)
+    t_c2w_all[:, 3, 3] = 1.0
+
+    import jax
+    import jax.numpy as jnp
+
+    # One batched crop-camera construction on the CPU backend (the batch
+    # dims ride calc_crop_box/construct_crop_camera's leading `...` axes,
+    # same as the online path's cameras.build_crop_cameras).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        base_cams = PinholeCamera(
+            f=jnp.broadcast_to(jnp.asarray(base_f, jnp.float32), (num_views, 2)),
+            c=jnp.broadcast_to(jnp.asarray(base_c, jnp.float32), (num_views, 2)),
+            T_world_from_eye=jnp.asarray(t_c2w_all),
+            width=base_w,
+            height=base_h,
+        )
+        crop_boxes = cam_mod.calc_crop_box(jnp.asarray(boxes), make_square=True)
+        crop_cams = cam_mod.construct_crop_camera(
+            box=crop_boxes,
+            camera_c2w=base_cams,
+            viewport_size=(crop_w, crop_h),
+            viewport_rel_pad=opts.crop_rel_pad,
+        )
+        crop_cams = jax.tree.map(np.asarray, crop_cams)
+
+    for view_idx in range(num_views):
             timer.start()
-            # Camera->world (model frame) from the view's world->camera.
-            t_w2c = np.eye(4)
-            t_w2c[:3, :3] = view["R"]
-            t_w2c[:3, 3] = view["t"].flatten()
-            t_c2w = np.linalg.inv(t_w2c)
-            # Numpy-leaf camera (PinholeCamera.create's eager jnp ops each
-            # dispatch to the tunneled device — ~100 ms per call).
-            base_cam = PinholeCamera(
-                f=np.asarray(base_f, dtype=np.float32),
-                c=np.asarray(base_c, dtype=np.float32),
-                T_world_from_eye=t_c2w.astype(np.float32),
-                width=base_w,
-                height=base_h,
+            box = boxes[view_idx]
+            crop_cam = PinholeCamera(
+                f=crop_cams.f[view_idx],
+                c=crop_cams.c[view_idx],
+                T_world_from_eye=crop_cams.T_world_from_eye[view_idx],
+                width=crop_w,
+                height=crop_h,
             )
-
-            # Analytic object box in the base camera.
-            verts_cam = (mesh.vertices @ view["R"].T) + view["t"].flatten()
-            proj = verts_cam[:, :2] / verts_cam[:, 2:3] * np.asarray(base_f) + base_c
-            box = np.asarray(
-                [proj[:, 0].min(), proj[:, 1].min(), proj[:, 0].max(), proj[:, 1].max()],
-                dtype=np.float32,
-            )
-            import jax
-            import jax.numpy as jnp
-
-            # Scalar camera math pinned to the CPU backend: on a tunneled
-            # accelerator each eager jnp dispatch is a ~100 ms host round
-            # trip, and these two calls per template dominated the stage
-            # (~0.5 s of the 0.62 s/template wall).
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                crop_box = cam_mod.calc_crop_box(
-                    jnp.asarray(box), make_square=True
-                )
-                crop_cam = cam_mod.construct_crop_camera(
-                    box=crop_box,
-                    camera_c2w=base_cam,
-                    viewport_size=(crop_w, crop_h),
-                    viewport_rel_pad=opts.crop_rel_pad,
-                )
-                crop_cam = jax.tree.map(np.asarray, crop_cam)
 
             # Render directly through the crop camera at SSAA resolution.
             hi_cam = PinholeCamera(
@@ -218,7 +240,7 @@ def synthesize_templates_for_object(
             mask_hi = np.asarray(out[RenderType.MASK])
 
             if mask_hi.sum() == 0:
-                logger.info(f"Skipping empty template at radius {radius}")
+                logger.info(f"Skipping empty template at view {view_idx}")
                 continue
 
             # SSAA downsample: area for color, nearest for depth/mask
@@ -232,9 +254,14 @@ def synthesize_templates_for_object(
             rgb_path = os.path.join(output_dir, "rgb", f"template_{template_counter:04d}.png")
             depth_path = os.path.join(output_dir, "depth", f"template_{template_counter:04d}.png")
             mask_path = os.path.join(output_dir, "mask", f"template_{template_counter:04d}.png")
-            Image.fromarray((255.0 * np.clip(color, 0, 1)).astype(np.uint8)).save(rgb_path)
+            # cv2's PNG encoder at its default level is ~5x faster than
+            # PIL's (2.4 vs 13.3 ms for a 420^2 rgb template, measured);
+            # the written PNGs stay standard and loader-agnostic.
+            cv2.imwrite(
+                rgb_path, (255.0 * np.clip(color, 0, 1)).astype(np.uint8)[:, :, ::-1]
+            )
             save_depth_png(depth_path, depth)
-            Image.fromarray((mask * 255).astype(np.uint8)).save(mask_path)
+            cv2.imwrite(mask_path, (mask * 255).astype(np.uint8))
 
             metadata_list.append(
                 {
@@ -243,14 +270,20 @@ def synthesize_templates_for_object(
                     "template_id": template_counter,
                     "pose": {"R": np.eye(3).tolist(), "t": np.zeros((3, 1)).tolist()},
                     "boxes_amodal": [
-                        [float(proj[:, 0].min()), float(proj[:, 1].min()),
-                         float(proj[:, 0].max()), float(proj[:, 1].max())]
+                        [float(box[0]), float(box[1]),
+                         float(box[2]), float(box[3])]
                     ],
                     "visibilities": [1.0],
                     "cameras": _camera_json(crop_cam),
                     "rgb_image_path": rgb_path,
                     "depth_map_path": depth_path,
                     "binary_mask_path": mask_path,
+                    # Extra (reference ignores unknown keys): the mask PNG
+                    # is exactly (depth > 0) — depth and mask come from the
+                    # same rasterization and the same nearest-neighbor SSAA
+                    # downsample — so gen_repre can derive it on device
+                    # instead of decoding + uploading it.
+                    "mask_is_depth_positive": True,
                 }
             )
             timer.elapsed(f"Template {template_counter}")

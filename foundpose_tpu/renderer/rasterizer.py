@@ -29,9 +29,9 @@ _LIB_PATHS = [
 
 
 def _build_native() -> None:
-    """Best-effort one-shot `make -C native` (the library is 22x faster than
-    the numpy fallback — 87 vs 1932 ms per 1680x1680 template render — so a
-    silent fallback would quietly dominate gen_templates wall time).
+    """Best-effort one-shot `make -C native` (the library is ~47x faster
+    than the numpy fallback — 41 vs 1932 ms per 1680x1680 template render —
+    so a silent fallback would quietly dominate gen_templates wall time).
 
     Serialized across processes with an flock'd lock file so concurrent
     first renders (pytest workers, multi-process pipelines) don't race the

@@ -249,3 +249,46 @@ def test_cast_banks_bf16_pipeline(rng):
     rot_err = float(geometry.rotation_error_deg(out.R_m2c[0], jnp.asarray(r_gt)))
     assert rot_err < 8.0, rot_err
     np.testing.assert_allclose(np.asarray(out.t_m2c[0]), t_gt, atol=0.03)
+
+
+def test_registration_mask_from_depth_matches_explicit(rng):
+    """The lean-upload registration variant (mask derived on device as
+    depth > 0, depth shipped as raw uint16 0.1mm units) must produce the
+    same features/vertices/validity as the explicit f32-mask path — the
+    two are used interchangeably depending on template provenance
+    (gen_repre._load_one_template / "mask_is_depth_positive")."""
+    from foundpose_tpu.pipeline.gen_repre import make_registration_fn
+
+    cfg = dinov2.resolve_config(
+        "dinov2_version=vits14-reg_stride=14_facet=token_layer=1_norm=0",
+        overrides={"embed_dim": 32, "depth": 2, "num_heads": 2, "pos_grid": 10},
+    )
+    params = dinov2.init_params(jax.random.PRNGKey(0), cfg)
+    b, h, w = 2, 70, 70
+    images = rng.integers(0, 255, size=(b, h, w, 3)).astype(np.uint8)
+    # Quantized depth (multiples of 0.1mm) so uint16 units are exact.
+    depth_u16 = np.zeros((b, h, w), np.uint16)
+    depth_u16[:, 20:60, 15:55] = rng.integers(
+        2500, 3500, size=(b, 40, 40)
+    ).astype(np.uint16)
+    depth_f32 = depth_u16.astype(np.float32) / 10.0
+    masks_f32 = (depth_f32 > 0).astype(np.float32)
+    cam_f = np.full((b, 2), 80.0, np.float32)
+    cam_c = np.full((b, 2), (w - 1) / 2.0, np.float32)
+    cam_t = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4))
+
+    reg_explicit = make_registration_fn(cfg, 14.0, (w, h))
+    reg_lean = make_registration_fn(cfg, 14.0, (w, h), mask_from_depth=True)
+    f1, v1, m1 = reg_explicit(
+        params, jnp.asarray(images), jnp.asarray(depth_f32),
+        jnp.asarray(masks_f32), jnp.asarray(cam_f), jnp.asarray(cam_c),
+        jnp.asarray(cam_t),
+    )
+    f2, v2, m2 = reg_lean(
+        params, jnp.asarray(images), jnp.asarray(depth_u16), None,
+        jnp.asarray(cam_f), jnp.asarray(cam_c), jnp.asarray(cam_t),
+    )
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-4)
+    assert np.asarray(m2).any(), "test must exercise valid grid points"
