@@ -95,8 +95,14 @@ def main():
     from foundpose_tpu.models import bench_weights
 
     params_host = bench_weights.realistic_params(jax.random.PRNGKey(0), vit_cfg)
+    # The window check runs at the BENCH shape (420 px -> ~905 tokens), not
+    # the 154-px calibration probe: the max over ~50x more token pairs is
+    # what the benched program actually sees, so a probe-size pass can't
+    # vacuously cover the real regime.
     attn_logit_max = float(
-        bench_weights.attention_logit_maxima(params_host, vit_cfg).max()
+        bench_weights.attention_logit_maxima(
+            params_host, vit_cfg, probe_size=420, probe_batch=1
+        ).max()
     )
     assert attn_logit_max < 99.0, attn_logit_max  # capped-stabilizer window
     # Commit the host-built weights to the device ONCE — numpy args are

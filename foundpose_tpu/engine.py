@@ -33,8 +33,12 @@ def _make_single_image_warp(crop_size: Tuple[int, int]):
     return make_single_image_warp(crop_size)
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_fused_serve(vit_cfg, config, crop_size, _interpret_token):
+# Bounded: jitted programs (and the executables they hold per input shape)
+# are only released when their cache entry is evicted — the same HBM-leak
+# reasoning as PoseEngine.max_cached_mesh_steps. 16 covers any realistic
+# number of live (extractor, config, crop_size) serving combinations.
+@functools.lru_cache(maxsize=16)
+def _jit_fused_serve(vit_cfg, config, crop_size, no_masks, _interpret_token):
     """ONE jitted program for the whole serving call: full image in ->
     packed poses out (crop warp -> ViT -> retrieval -> PnP -> output pack).
 
@@ -46,8 +50,14 @@ def _jit_fused_serve(vit_cfg, config, crop_size, _interpret_token):
     program recompiles per image resolution (serving cameras are fixed-res
     in practice); results are bit-identical to the chunked path, which
     remains for n > batch_size and mesh execution (tests/test_engine.py).
+
+    With `no_masks` (every detection maskless — the common serving call),
+    the all-ones mask stack is built ON DEVICE instead of uploaded: the
+    host-built stack is batch_size full-resolution f32 images (~20 MB at
+    16 x 480 x 640) shipped per call for purely constant content.
     """
     import jax
+    import jax.numpy as jnp
 
     from foundpose_tpu.ops.warp import make_single_image_warp
 
@@ -55,6 +65,9 @@ def _jit_fused_serve(vit_cfg, config, crop_size, _interpret_token):
 
     @jax.jit
     def fused(params, image, masks, src_cam, dst_cams, repre, counter):
+        if no_masks:  # masks arrives as a placeholder scalar
+            b = dst_cams.f.shape[0]
+            masks = jnp.ones((b,) + image.shape[:2], jnp.float32)
         crops, crop_masks = warp(image, masks, src_cam, dst_cams)
         key = jax.random.PRNGKey(counter)
         out = inference.pose_from_crops(
@@ -182,7 +195,10 @@ class PoseEngine:
             steps[obj_id] = make_object_mesh_step(
                 self._mesh, self.vit_cfg, self.config, self._repres[obj_id]
             )
-            while len(steps) > self.max_cached_mesh_steps:
+            # Bound of < 1 behaves as 1: the step being returned must stay
+            # cached (evicting it would KeyError below), so the smallest
+            # meaningful cache holds exactly the current object.
+            while len(steps) > max(1, self.max_cached_mesh_steps):
                 steps.popitem(last=False)
         return steps[obj_id], self._get_mesh_params()
 
@@ -228,14 +244,17 @@ class PoseEngine:
 
     @staticmethod
     def _mask_stack(masks, h, w):
-        return np.stack(
-            [
-                np.asarray(m if m is not None else np.ones((h, w))).astype(
-                    np.float32
-                )
-                for m in masks
-            ]
-        )
+        """Stacks per-detection masks (None -> all-ones). Bool/integer masks
+        ship as uint8 (4x less host->device traffic than f32; the warp casts
+        to f32 on device, so values are bit-identical); float masks keep f32
+        so soft masks are not quantized."""
+        arrs = [
+            np.asarray(m) if m is not None else np.ones((h, w), np.uint8)
+            for m in masks
+        ]
+        if all(a.dtype == np.bool_ or a.dtype.kind in "iu" for a in arrs):
+            return np.stack([a.astype(np.uint8) for a in arrs])
+        return np.stack([a.astype(np.float32) for a in arrs])
 
     def _prepare_crops(self, image, boxes_xyxy, masks, K):
         """Crop cameras + batched warped crops/masks for one image."""
@@ -274,46 +293,62 @@ class PoseEngine:
             else a,
             batched_cams,
         )
-        mask_stack = self._mask_stack(list(masks) + [masks[-1]] * pad, h, w)
+        no_masks = all(m is None for m in masks)
+        if no_masks:
+            # The all-ones stack is generated on device inside the fused
+            # program — uploading batch_size full-res f32 ones (~20 MB at
+            # 16 x 480 x 640) dominated small-n calls on slow links.
+            mask_arg = np.float32(0.0)
+        else:
+            mask_arg = jnp.asarray(
+                self._mask_stack(list(masks) + [masks[-1]] * pad, h, w)
+            )
 
         fused = _jit_fused_serve(
             self.vit_cfg,
             self.config,
             tuple(self.config.crop_size),
+            no_masks,
             inference.pallas_interpret_token(),
         )
         self._counter += 1
         packed = fused(
             self.vit_params,
             jnp.asarray(img),
-            jnp.asarray(mask_stack),
+            mask_arg,
             orig_cam,
             jax.tree.map(jnp.asarray, padded_cams),
             repre,
             np.uint32(self._counter),
         )
         p = np.asarray(packed)  # ONE transfer
-        return [
-            {
-                "success": bool(p[j, 0] > 0.5),
-                "R_m2c": p[j, 4:13].reshape(3, 3),
-                "t_m2c": p[j, 13:16],
-                "quality": float(p[j, 1]),
-                "score": float(p[j, 2]),
-                "best_template": int(p[j, 3]),
-                "crop_camera": crop_cams[j],
-            }
-            for j in range(n)
-        ]
+        return [self._unpack_row(p, j, crop_cams[j]) for j in range(n)]
+
+    # Packed-row layout (single source: _pack_outputs writes it,
+    # _unpack_row reads it): [0]=success, [1]=quality, [2]=score,
+    # [3]=best_template, [4:13]=R_m2w row-major, [13:16]=t_m2w.
+    @staticmethod
+    def _unpack_row(p, j, crop_cam) -> Dict[str, Any]:
+        """Decodes row j of a fetched _pack_outputs array (world == image
+        camera for engine calls, so R/t are reported as m2c)."""
+        return {
+            "success": bool(p[j, 0] > 0.5),
+            "R_m2c": p[j, 4:13].reshape(3, 3),
+            "t_m2c": p[j, 13:16],
+            "quality": float(p[j, 1]),
+            "score": float(p[j, 2]),
+            "best_template": int(p[j, 3]),
+            "crop_camera": crop_cam,
+        }
 
     @staticmethod
     def _pack_outputs(out):
         """Packs the serving-consumed PoseOutputs fields into ONE [B, 16]
-        f32 array (success, quality, score, best_template, R_m2w.flat,
-        t_m2w) so unpacking costs a single device->host transfer. Per-leaf
-        np.asarray fetches pay one transfer round trip EACH — ~16 x 31 ms
-        per chunk on an RPC-attached chip (measured, benchmarks/latency.py);
-        local PCIe deployments save the per-transfer syscalls too."""
+        f32 array (layout above _unpack_row) so unpacking costs a single
+        device->host transfer. Per-leaf np.asarray fetches pay one transfer
+        round trip EACH — ~16 x 31 ms per chunk on an RPC-attached chip
+        (measured, benchmarks/latency.py); local PCIe deployments save the
+        per-transfer syscalls too."""
         import jax.numpy as jnp
 
         b = out.R_m2w.shape[0]
@@ -360,19 +395,10 @@ class PoseEngine:
         out_all: List[Dict[str, Any]] = []
         for chunk, packed in dispatched:
             p = np.asarray(packed)  # ONE transfer per chunk
-            for j, i in enumerate(chunk):
-                out_all.append(
-                    {
-                        "success": bool(p[j, 0] > 0.5),
-                        # world == image camera for engine calls.
-                        "R_m2c": p[j, 4:13].reshape(3, 3),
-                        "t_m2c": p[j, 13:16],
-                        "quality": float(p[j, 1]),
-                        "score": float(p[j, 2]),
-                        "best_template": int(p[j, 3]),
-                        "crop_camera": crop_cams[i],
-                    }
-                )
+            out_all.extend(
+                self._unpack_row(p, j, crop_cams[i])
+                for j, i in enumerate(chunk)
+            )
         return out_all
 
     # -- public API -------------------------------------------------------------

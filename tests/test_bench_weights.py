@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from foundpose_tpu.models import bench_weights, dinov2
@@ -88,3 +89,24 @@ def test_bf16_fused_path_on_calibrated_weights(rng):
         np.asarray(fused16, dtype=np.float32), np.asarray(ref),
         atol=0.1 * max(scale, 1.0),
     )
+
+
+@pytest.mark.slow
+def test_bench_shape_logit_window():
+    """The capped-stabilizer window must hold at the BENCH shape (420 px,
+    ~905 tokens), not just the 154-px calibration probe: the max over ~50x
+    more token pairs is what the benched program actually sees. bench.py
+    asserts the same thing at runtime; this pins it in CI (ADVICE r4)."""
+    cfg = dataclasses.replace(
+        dinov2.parse_model_name(
+            "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
+        ),
+        softmax_stabilizer="capped",
+    )
+    params = bench_weights.realistic_params(jax.random.PRNGKey(0), cfg)
+    maxima = bench_weights.attention_logit_maxima(
+        params, cfg, probe_size=420, probe_batch=1
+    )
+    # Calibrated to 30 at 154 px; measured 33-36 at 420 px — growth is
+    # logarithmic in pair count, far from the < ~99 exactness window.
+    assert maxima.max() < 50.0, maxima

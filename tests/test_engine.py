@@ -179,6 +179,13 @@ def test_engine_mesh_serving(rng):
     meshed.unregister_object(11)
     assert 11 not in meshed._mesh_steps and 11 not in meshed._repres
 
+    # A bound of <= 0 behaves as 1: the step being served must stay cached
+    # (a literal reading would evict the just-built step and KeyError).
+    meshed.max_cached_mesh_steps = 0
+    meshed.register_object(9, repre)
+    out_m = meshed.estimate(9, image, boxes[:1], K)
+    assert len(out_m) == 1 and list(meshed._mesh_steps) == [9]
+
 
 def test_engine_mesh_mixed_and_tp(rng):
     """estimate_mixed runs on a (data, bank) mesh AND on a 3-axis
