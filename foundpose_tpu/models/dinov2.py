@@ -140,6 +140,11 @@ def parse_model_name(model_name: str) -> DinoV2Config:
             elif k == "stride":
                 stride = int(v)
             elif k == "facet":
+                if v not in ("token", "query", "key", "value", "attn"):
+                    raise ValueError(
+                        f"unknown dinov2 facet {v!r} in {model_name!r} "
+                        "(known: token/query/key/value/attn)"
+                    )
                 facet = v
             elif k == "layer":
                 layer = int(v)
@@ -512,6 +517,17 @@ def extract_facet(
         sel = qkv[:, :, idx]  # [B, T, nh, hd]
         # Reference layout: (B, h, t, d) -> permute(0,2,3,1) -> flatten(d, h).
         feats = jnp.transpose(sel, (0, 1, 3, 2)).reshape(b, t, cfg.embed_dim)
+    elif cfg.facet == "attn":
+        # The reference rejects "attn" on its descriptor path with the same
+        # contract: extract_descriptors asserts facet in {key,query,value,
+        # token} (reference: utils/dinov2_utils.py:281-286); "attn" is only
+        # reachable at the raw feature level (_extract_features, which
+        # returns Bxhxtxt attention maps). Use extract_attention_maps.
+        raise ValueError(
+            "facet='attn' is not a descriptor facet (the reference's "
+            "extract_descriptors rejects it too); use "
+            "dinov2.extract_attention_maps for the Bxhxtxt attention maps"
+        )
     else:
         raise ValueError(f"unsupported facet: {cfg.facet}")
 
@@ -530,6 +546,37 @@ def extract_facet(
     b = patch_tokens.shape[0]
     fmap = patch_tokens.reshape(b, gh, gw, patch_tokens.shape[-1])
     return {"cls_tokens": cls_tokens, "feature_maps": fmap}
+
+
+def extract_attention_maps(
+    params: Dict[str, Any], cfg: DinoV2Config, images_nhwc: Array
+) -> Array:
+    """Post-softmax attention probabilities [B, heads, T, T] at `cfg.layer`.
+
+    This is the reference's facet="attn": its hook sits on the attention
+    module's `attn_drop` (identity in eval), i.e. the softmaxed logits
+    BEFORE the value contraction, documented there as shape Bxhxtxt
+    (reference: utils/dinov2_utils.py:166-174 hook registration,
+    :232-249 `_extract_features` shape contract). T includes the CLS and
+    register tokens, exactly as the torch hook sees them.
+
+    Computed functionally: run blocks [0, layer), then LN1 -> qkv ->
+    scaled logits -> f32 softmax for block `layer`. This is an extraction
+    endpoint, not the serving hot path, so it takes the plain XLA route
+    regardless of the fused-block flags (which never change block outputs;
+    parity-tested in tests/test_vit_block.py).
+    """
+    x, _ = embed_tokens(params, cfg, images_nhwc)
+    x = _run_blocks(x, params["blocks"], cfg, cfg.layer)
+    p = jax.tree.map(lambda a: a[cfg.layer].astype(x.dtype), params["blocks"])
+    xn = _layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps)
+    qkv = xn @ p["qkv_kernel"] + p["qkv_bias"]
+    b, t, _ = qkv.shape
+    qkv = qkv.reshape(b, t, 3, cfg.num_heads, cfg.head_dim)
+    q = jnp.transpose(qkv[:, :, 0], (0, 2, 1, 3))  # [B, h, T, hd]
+    k = jnp.transpose(qkv[:, :, 1], (0, 2, 1, 3))
+    logits = jnp.einsum("bhqe,bhke->bhqk", q, k) * (cfg.head_dim**-0.5)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def forward_full(

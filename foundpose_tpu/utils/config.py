@@ -143,10 +143,30 @@ def _add_field_arg(parser: argparse.ArgumentParser, name: str, tp, default):
         parser.add_argument(flag, type=str, default=default)
 
 
+def load_envelope_file(path: str) -> Dict[str, Any]:
+    """Loads an option-envelope file — `.json` or `.yaml`/`.yml`.
+
+    Matches the reference's file-type dispatch (reference:
+    utils/config_util.py:88-109 `load_from_file`): both formats feed the
+    identical validation path, so a YAML twin of a JSON config resolves to
+    the same options.
+    """
+    if path.endswith(".json"):
+        with open(path) as f:
+            return json.load(f)
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        return {} if data is None else data
+    raise ValueError(f"option file {path} must be a .json or .yaml file")
+
+
 def load_opts(
     cls: Type[T], argv: Optional[Sequence[str]] = None, opts_key: Optional[str] = None
 ) -> T:
-    """Loads options from `--opts-path <json>` or generated CLI flags.
+    """Loads options from `--opts-path <json|yaml>` or generated CLI flags.
 
     Layering: `--opts-extra <json>` (repeatable) deep-merges further envelope
     files over the base, and `--set dotted.path=value` (repeatable, value
@@ -166,11 +186,9 @@ def load_opts(
     known, rest = pre.parse_known_args(argv)
 
     if known.opts_path:
-        with open(known.opts_path) as f:
-            envelope = json.load(f)
+        envelope = load_envelope_file(known.opts_path)
         for extra in known.opts_extra:
-            with open(extra) as f:
-                envelope = merge_json(envelope, json.load(f))
+            envelope = merge_json(envelope, load_envelope_file(extra))
         for item in known.set_overrides:
             path, _, raw = item.partition("=")
             # Paths are relative to the opts envelope key.
@@ -218,8 +236,7 @@ def load_opts(
     # CLI flags override them, --set patches last.
     envelope = {}
     for extra in ns.opts_extra:
-        with open(extra) as f:
-            envelope = merge_json(envelope, json.load(f))
+        envelope = merge_json(envelope, load_envelope_file(extra))
     data = merge_json(envelope.get(key, {}), data)
     for item in ns.set_overrides:
         path, _, raw = item.partition("=")

@@ -317,3 +317,35 @@ def test_load_opts_set_without_opts_path(tmp_path):
         Demo2Opts, argv=["--batch-size", "9", "--set", "batch_size=11"]
     )
     assert opts.batch_size == 11
+
+
+def test_yaml_twin_of_lmo_config_loads_identically(tmp_path):
+    """A .yaml twin of configs/infer/lmo.json resolves to the identical
+    options (reference accepts both formats: utils/config_util.py:88-109)."""
+    import os
+
+    import yaml
+
+    from foundpose_tpu.pipeline.infer import InferOpts
+
+    json_path = os.path.join(
+        os.path.dirname(__file__), "..", "configs", "infer", "lmo.json"
+    )
+    with open(json_path) as f:
+        envelope = json.load(f)
+    yaml_path = tmp_path / "lmo.yaml"
+    with open(yaml_path, "w") as f:
+        yaml.safe_dump(envelope, f)
+
+    from_json = cfg_mod.load_opts(InferOpts, ["--opts-path", json_path])
+    from_yaml = cfg_mod.load_opts(InferOpts, ["--opts-path", str(yaml_path)])
+    assert from_json == from_yaml
+
+    # --opts-extra accepts yaml too, and unknown extensions are rejected.
+    patched = cfg_mod.load_opts(
+        InferOpts,
+        ["--opts-path", json_path, "--opts-extra", str(yaml_path)],
+    )
+    assert patched == from_json
+    with pytest.raises(ValueError, match="json or a .yaml|.json or .yaml"):
+        cfg_mod.load_envelope_file(str(tmp_path / "lmo.toml"))

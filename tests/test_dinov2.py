@@ -150,6 +150,46 @@ def test_key_facet_matches_manual(setup):
     np.testing.assert_allclose(got, patches, atol=1e-5)
 
 
+def test_attn_facet_matches_hf(setup):
+    """facet="attn" = post-softmax attention probabilities [B,h,T,T] at the
+    target layer (the reference hooks attn_drop; utils/dinov2_utils.py:
+    166-174, 232-249). HF's eager attention exposes the same tensor via
+    output_attentions."""
+    import torch
+
+    cfg, params, model, images = setup
+    got = np.asarray(
+        dinov2.extract_attention_maps(params, cfg, jnp.asarray(images))
+    )
+    with torch.no_grad():
+        out = model(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            output_attentions=True,
+        )
+    theirs = out.attentions[cfg.layer].numpy()  # [B, h, T, T]
+    assert got.shape == theirs.shape
+    np.testing.assert_allclose(got, theirs, atol=2e-5)
+    # Rows are probability distributions.
+    np.testing.assert_allclose(got.sum(-1), np.ones(got.shape[:-1]), atol=1e-5)
+
+
+def test_attn_facet_parses_but_is_not_a_descriptor(setup):
+    """The DSL accepts facet=attn; the descriptor path rejects it exactly
+    like the reference's extract_descriptors assert
+    (utils/dinov2_utils.py:281-286)."""
+    cfg, params, _, images = setup
+    parsed = dinov2.parse_model_name(
+        "dinov2_version=vits14-reg_stride=14_facet=attn_layer=9_norm=1"
+    )
+    assert parsed.facet == "attn"
+    with pytest.raises(ValueError, match="extract_attention_maps"):
+        dinov2.extract_facet(
+            params, tiny_cfg(facet="attn"), jnp.asarray(images)
+        )
+    with pytest.raises(ValueError, match="unknown dinov2 facet"):
+        dinov2.parse_model_name("dinov2_version=vits14_facet=atn")
+
+
 def test_pos_embed_interpolation_matches_torch():
     import torch
     import torch.nn.functional as F
