@@ -323,6 +323,36 @@ def ar_recall(rs, ts, succ, rs_gt, ts_gt, rot_thresh=5.0, t_thresh=0.015):
     return float(np.mean(ok)), ok
 
 
+def bop_ar_score(rs, ts, succ, rs_gt, ts_gt, model_points, K, image_width):
+    """Scores poses through the REAL BOP19 protocol layer (eval/bop_ar.py):
+    each crop is one single-instance image; AR = mean(AR_MSSD, AR_MSPD).
+
+    `ar_recall` above is a fixed-threshold parity gate between the two
+    implementations; this runs the actual scorekeeper end-to-end on both
+    sides' poses (VERDICT r4 directive: the protocol layer must be
+    exercised on real pipeline outputs, not only unit tests).
+    """
+    from foundpose_tpu.eval import bop_ar
+
+    # Subsample model points: MSSD/MSPD maxima stabilize well below the
+    # full 4000-point cloud and both sides see the identical subset.
+    pts = np.asarray(model_points[:: max(1, len(model_points) // 400)])
+    dia = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+    gts, ests, intr = [], [], {}
+    for i in range(len(rs_gt)):
+        gts.append(bop_ar.GroundTruth(1, i, 7, np.asarray(rs_gt[i]),
+                                      np.asarray(ts_gt[i])))
+        intr[(1, i)] = np.asarray(K, np.float64)
+        if bool(succ[i]):
+            ests.append(bop_ar.Estimate(1, i, 7, 1.0, np.asarray(rs[i]),
+                                        np.asarray(ts[i])))
+    out = bop_ar.evaluate_ar(
+        ests, gts, {7: pts}, {7: dia}, {7: [(np.eye(3), np.zeros(3))]},
+        intr, image_width=image_width,
+    )
+    return out["bop_ar"]
+
+
 def run_parity(num_templates=798, pts_per_template=400, feat_dim=256,
                num_words=2048, n_points=4000, n_crops=100, seed=0,
                top_n_templates=5, top_k_buddies=300, pnp_ransac_iter=400,
@@ -429,6 +459,9 @@ def run_parity(num_templates=798, pts_per_template=400, feat_dim=256,
               "replica_sec_per_crop": round(rep_s / n_crops, 3)}
     ar_rep, ok_rep = ar_recall(rep_rs, rep_ts, rep_succ, rs_gt, ts_gt)
     report["ar_replica"] = ar_rep
+    report["bop_ar_replica"] = round(
+        bop_ar_score(rep_rs, rep_ts, rep_succ, rs_gt, ts_gt, obj_points, K,
+                     image_width=CROP), 4)
     for name, out in (("exact", out_exact), ("fast", out_fast)):
         rs = np.asarray(out.R_m2c)
         ts = np.asarray(out.t_m2c)
@@ -447,6 +480,11 @@ def run_parity(num_templates=798, pts_per_template=400, feat_dim=256,
                 )
         report[f"ar_jax_{name}"] = ar
         report[f"ar_delta_{name}"] = round(abs(ar - ar_rep), 4)
+        report[f"bop_ar_jax_{name}"] = round(
+            bop_ar_score(rs, ts, succ, rs_gt, ts_gt, obj_points, K,
+                         image_width=CROP), 4)
+        report[f"bop_ar_delta_{name}"] = round(
+            abs(report[f"bop_ar_jax_{name}"] - report["bop_ar_replica"]), 4)
         report[f"median_rot_delta_deg_{name}"] = (
             round(float(np.median(drots)), 3) if drots else None
         )

@@ -2,17 +2,32 @@
 
 In-house evaluator for the reference's north-star metric
 (reference README.md:173-181 reports BOP AR computed with the external
-bop_toolkit evaluation server/scripts; neither is vendored here). Implements
-the BOP19 protocol:
+bop_toolkit evaluation server/scripts; the submodule is not vendored there).
+Implements the BOP19 protocol as defined by bop_toolkit's
+eval_calc_errors/eval_calc_scores/pose_matching flow:
 
-- Per (scene, image, object): estimates sorted by score; the top-n (n = #GT
-  instances) are greedily matched to GT instances by lowest error.
+- Per (scene, image, object): estimates sorted by score descending,
+  truncated to the top-n (n = number of GT instances with
+  visib_fract >= 0.1 — BOP19's targets `inst_count`).
+- Matching is GREEDY PER ERROR TYPE AND PER THRESHOLD: at each correctness
+  threshold, each estimate (in score order) claims the not-yet-matched
+  valid GT with the lowest error, provided that error is BELOW the
+  threshold; otherwise the GT stays available for lower-scored estimates.
+  (bop_toolkit pose_matching.match_poses: an estimate with error above the
+  threshold matches nothing at that threshold.)
 - MSSD recall over thresholds {0.05..0.5} x object diameter.
 - MSPD recall over thresholds {5..50} x r px, r = image_width / 640.
-- VSD (optional, needs scene depth + the object mesh): visible surface
-  discrepancy with tau in {0.05..0.5} x diameter and delta = 15 mm, rendered
-  with the native rasterizer.
-- AR = mean over thresholds; BOP AR = mean(AR_VSD, AR_MSSD, AR_MSPD).
+- VSD (optional, needs scene depth + the object mesh): BOP19 visible
+  surface discrepancy on DISTANCE images (z-depth converted via K, as in
+  bop_toolkit misc.depth_im_to_dist_im_fast), bop19-mode visibility masks,
+  tau in {0.05..0.5} x diameter, delta = 15 mm, correctness threshold
+  theta in {0.05..0.5}; AR_VSD averages recall over all (tau, theta)
+  combinations.
+- AR_x = mean recall over that error type's threshold grid;
+  BOP AR = mean(AR_VSD, AR_MSSD, AR_MSPD) (mean of the available ones).
+
+The protocol layer is pinned by a literal numpy restatement oracle in
+tests/test_bop_ar.py (same treatment as eval/errors.py's golden tests).
 """
 
 from __future__ import annotations
@@ -70,45 +85,80 @@ def _mspd_np(r_est, t_est, r_gt, t_gt, k, pts, syms) -> float:
     return float(best)
 
 
-def _vsd_np(
-    r_est, t_est, r_gt, t_gt, depth_test, k, renderer, obj_id, cam,
-    diameter, taus, delta=15.0,
+def depth_to_dist(depth: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Z-depth image -> euclidean-distance-from-center image.
+
+    bop_toolkit computes VSD on distance images
+    (misc.depth_im_to_dist_im_fast), not raw z-depth.
+    """
+    h, w = depth.shape
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    d = depth.astype(np.float64)
+    xc = (xs - k[0, 2]) * d / k[0, 0]
+    yc = (ys - k[1, 2]) * d / k[1, 1]
+    return np.sqrt(xc**2 + yc**2 + d**2)
+
+
+def _visib_mask_bop19(dist_test: np.ndarray, dist_model: np.ndarray,
+                      delta: float) -> np.ndarray:
+    """bop_toolkit visibility.'bop19' mode: the model surface is visible
+    where it is rendered AND (it is within delta in front of the test
+    depth OR the test depth is missing)."""
+    d_diff = dist_model - dist_test
+    return np.logical_and(
+        np.logical_or(d_diff <= delta, dist_test == 0), dist_model > 0
+    )
+
+
+def vsd_errors(
+    dist_est: np.ndarray,
+    dist_gt: np.ndarray,
+    dist_test: np.ndarray,
+    taus_abs: Sequence[float],
+    delta: float,
 ) -> List[float]:
-    """VSD errors (one per tau). Renders est/GT depth with the rasterizer."""
-    from foundpose_tpu.renderer.base import RenderType
+    """BOP19 VSD errors (one per absolute tau) from distance images.
 
-    def render_depth(r, t):
-        t_m2w = np.eye(4)
-        t_m2w[:3, :3] = r
-        t_m2w[:3, 3] = t
-        out = renderer.render_object_model(
-            obj_id, cam, T_model_to_world=np.asarray(cam.T_world_from_eye) @ t_m2w
-        )
-        return np.asarray(out[RenderType.DEPTH])
-
-    d_est = render_depth(r_est, t_est)
-    d_gt = render_depth(r_gt, t_gt)
-
-    # Visibility masks (bop_toolkit: object visible where rendered depth is
-    # within delta of the test depth, or test depth missing).
-    def visib(d_render):
-        present = d_render > 0
-        test_ok = depth_test > 0
-        return present & (~test_ok | (d_render < depth_test + delta))
-
-    v_est = visib(d_est)
-    v_gt = visib(d_gt)
-    union = v_est | v_gt
-    inter = v_est & v_gt
-    n_union = union.sum()
+    Follows bop_toolkit pose_error.vsd with cost_type='step':
+      visib_gt  = bop19 mask of the GT render vs the test depth
+      visib_est = bop19 mask of the est render, OR'd with
+                  (visib_gt & est rendered) — est pixels occluded in the
+                  test image still count where the GT is visible
+      e(tau) = (#{inter pixels with |dist diff| > tau} + #union - #inter)
+               / #union,  or 1.0 when the union is empty.
+    """
+    visib_gt = _visib_mask_bop19(dist_test, dist_gt, delta)
+    visib_est = _visib_mask_bop19(dist_test, dist_est, delta)
+    visib_est = np.logical_or(visib_est, np.logical_and(visib_gt, dist_est > 0))
+    inter = np.logical_and(visib_gt, visib_est)
+    union = np.logical_or(visib_gt, visib_est)
+    n_union = int(union.sum())
+    n_comp = n_union - int(inter.sum())
     if n_union == 0:
-        return [1.0] * len(taus)
-    dist = np.abs(d_est - d_gt)
-    errs = []
-    for tau in taus:
-        ok = inter & (dist < tau)
-        errs.append(1.0 - ok.sum() / n_union)
-    return errs
+        return [1.0] * len(taus_abs)
+    diff = np.abs(dist_est - dist_gt)[inter]
+    return [float(((diff > tau).sum() + n_comp) / n_union) for tau in taus_abs]
+
+
+def match_count(errs: np.ndarray, th: float) -> int:
+    """Greedy per-threshold matching (bop_toolkit pose_matching.match_poses).
+
+    `errs` is an [n_est, n_gt] error matrix with rows already in
+    score-descending order. Each estimate claims the unmatched GT with the
+    lowest error, PROVIDED that error < th. Returns the number of matches.
+    """
+    if errs.size == 0:
+        return 0
+    n_gt = errs.shape[1]
+    matched = np.zeros(n_gt, dtype=bool)
+    count = 0
+    for row in errs:
+        ok = np.where(~matched & (row < th))[0]
+        if ok.size:
+            gi = ok[np.argmin(row[ok])]
+            matched[gi] = True
+            count += 1
+    return count
 
 
 def evaluate_ar(
@@ -123,6 +173,7 @@ def evaluate_ar(
     depth_images: Optional[Dict[Tuple[int, int], np.ndarray]] = None,
     renderer=None,
     cameras: Optional[Dict[Tuple[int, int], object]] = None,
+    vsd_delta: float = 15.0,
 ) -> Dict[str, float]:
     """Returns {"ar_mssd", "ar_mspd", ["ar_vsd",] "bop_ar"}.
 
@@ -130,7 +181,8 @@ def evaluate_ar(
     """
     mssd_taus = np.arange(0.05, 0.51, 0.05)
     mspd_taus = np.arange(5, 51, 5) * (image_width / 640.0)
-    vsd_taus = np.arange(0.05, 0.51, 0.05)
+    vsd_taus = np.arange(0.05, 0.51, 0.05)  # x diameter
+    vsd_ths = np.arange(0.05, 0.51, 0.05)
 
     by_key_est: Dict[Tuple[int, int, int], List[Estimate]] = {}
     for e in estimates:
@@ -143,13 +195,14 @@ def evaluate_ar(
 
     mssd_hits = np.zeros(len(mssd_taus))
     mspd_hits = np.zeros(len(mspd_taus))
-    vsd_hits = np.zeros(len(vsd_taus))
+    vsd_hits = np.zeros((len(vsd_taus), len(vsd_ths)))
     total = 0
     do_vsd = depth_images is not None and renderer is not None and cameras is not None
 
     for key, gt_list in by_key_gt.items():
         scene_id, im_id, obj_id = key
         total += len(gt_list)
+        # Top-n by score, n = #valid GTs (BOP19 n_top=-1 via inst_count).
         ests = sorted(by_key_est.get(key, []), key=lambda e: -e.score)[: len(gt_list)]
         if not ests:
             continue
@@ -158,31 +211,51 @@ def evaluate_ar(
         syms = symmetries.get(obj_id, [(np.eye(3), np.zeros(3))])
         k = intrinsics[(scene_id, im_id)]
 
-        # Greedy matching: each estimate claims its lowest-MSSD unmatched GT.
-        claimed = set()
-        for e in ests:
-            errs = []
-            for gi, g in enumerate(gt_list):
-                if gi in claimed:
-                    errs.append((np.inf, np.inf, gi))
-                    continue
-                em = _mssd_np(e.R, e.t, g.R, g.t, pts, syms)
-                ep = _mspd_np(e.R, e.t, g.R, g.t, k, pts, syms)
-                errs.append((em, ep, gi))
-            em, ep, gi = min(errs, key=lambda x: x[0])
-            if not np.isfinite(em):
-                continue
-            claimed.add(gi)
-            mssd_hits += em < mssd_taus * dia
-            mspd_hits += ep < mspd_taus
-            if do_vsd:
-                g = gt_list[gi]
-                verrs = _vsd_np(
-                    e.R, e.t, g.R, g.t, depth_images[(scene_id, im_id)], k,
-                    renderer, obj_id, cameras[(scene_id, im_id)], dia,
-                    taus=vsd_taus * dia,
+        # Error matrices [n_est, n_gt], rows in score order.
+        em = np.array(
+            [[_mssd_np(e.R, e.t, g.R, g.t, pts, syms) for g in gt_list] for e in ests]
+        )
+        ep = np.array(
+            [[_mspd_np(e.R, e.t, g.R, g.t, k, pts, syms) for g in gt_list] for e in ests]
+        )
+        for ti, th in enumerate(mssd_taus):
+            mssd_hits[ti] += match_count(em, th * dia)
+        for ti, th in enumerate(mspd_taus):
+            mspd_hits[ti] += match_count(ep, th)
+
+        if do_vsd:
+            from foundpose_tpu.renderer.base import RenderType
+
+            cam = cameras[(scene_id, im_id)]
+            dist_test = depth_to_dist(
+                np.asarray(depth_images[(scene_id, im_id)], dtype=np.float64), k
+            )
+
+            def render_dist(r, t):
+                t_m2w = np.eye(4)
+                t_m2w[:3, :3] = r
+                t_m2w[:3, 3] = t
+                out = renderer.render_object_model(
+                    obj_id, cam,
+                    T_model_to_world=np.asarray(cam.T_world_from_eye) @ t_m2w,
                 )
-                vsd_hits += np.asarray(verrs) < 0.3
+                return depth_to_dist(
+                    np.asarray(out[RenderType.DEPTH], dtype=np.float64), k
+                )
+
+            dist_gts = [render_dist(g.R, g.t) for g in gt_list]
+            taus_abs = vsd_taus * dia
+            # [n_est, n_gt, n_tau] error tensor.
+            ev = np.empty((len(ests), len(gt_list), len(vsd_taus)))
+            for ei, e in enumerate(ests):
+                dist_est = render_dist(e.R, e.t)
+                for gi in range(len(gt_list)):
+                    ev[ei, gi] = vsd_errors(
+                        dist_est, dist_gts[gi], dist_test, taus_abs, vsd_delta
+                    )
+            for ti in range(len(vsd_taus)):
+                for hi, th in enumerate(vsd_ths):
+                    vsd_hits[ti, hi] += match_count(ev[:, :, ti], th)
 
     if total == 0:
         return {"ar_mssd": 0.0, "ar_mspd": 0.0, "bop_ar": 0.0}

@@ -37,6 +37,11 @@ def test_replica_and_jax_agree_at_ar_level():
     one_crop = 1.0 / report["n_crops"] + 1e-9
     assert report["ar_delta_exact"] <= one_crop, report
     assert report["ar_delta_fast"] <= one_crop, report
+    # The REAL BOP19 protocol layer (eval/bop_ar.py) scores both sides'
+    # poses too — the scorekeeper itself is exercised end to end.
+    assert report["bop_ar_replica"] > 0.5, report
+    assert report["bop_ar_delta_exact"] <= 0.05, report
+    assert report["bop_ar_delta_fast"] <= 0.05, report
     if report["both_succeeded_exact"]:
         assert report["median_rot_delta_deg_exact"] < 10.0, report
         assert report["median_t_delta_mm_exact"] < 30.0, report

@@ -86,7 +86,10 @@ def test_fastpath_matches_exact_at_ar_level(rng):
     repre, obj_points, obj_feats, tpl_point_ids = make_synthetic_world(
         rng, num_templates=12, pts_per_template=80, feat_dim=48
     )
-    n_crops = 12
+    # >= 100 crops so the recall gate has statistical power: "within one
+    # crop" at 12 crops meant 8.3 pts of slack; at 100 it is 1 pt and the
+    # gate below allows 2 (matching the full-scale cross-parity margins).
+    n_crops = 100
     fmaps, masks, cam_list, rs, ts = [], [], [], [], []
     for i in range(n_crops):
         fmap, mask, camera, r_gt, t_gt = render_noisy_query(
@@ -121,8 +124,10 @@ def test_fastpath_matches_exact_at_ar_level(rng):
     # The exact path must actually work on this world (the comparison is
     # meaningless otherwise) ...
     assert ar_exact >= 0.75, (ar_exact, ok_exact)
-    # ... and the fast path must match it within one crop of recall.
-    assert ar_fast >= ar_exact - 1.0 / n_crops + 1e-9, (
+    # ... and the fast path must match it within 2 points of recall
+    # (2 crops of 100 — the same margin the full-scale cross-parity
+    # harness holds with measured delta 0.0).
+    assert ar_fast >= ar_exact - 0.02 + 1e-9, (
         ar_exact, ar_fast, ok_exact, ok_fast,
     )
 
