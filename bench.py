@@ -65,10 +65,16 @@ def main():
     from foundpose_tpu.utils.profiling import device_time_scan, force_execution
 
     rng = np.random.default_rng(0)
+    # BENCH_EXTRACTOR switches the model family; the default is the
+    # published LM-O ViT-S config. ViT-L (BASELINE.json config #3) uses the
+    # reference's own ViT-L example DSL (utils/dinov2_utils.py:66):
+    #   BENCH_EXTRACTOR="dinov2_version=vitl14_stride=14_facet=key_layer=18_norm=1"
+    extractor_name = os.environ.get(
+        "BENCH_EXTRACTOR",
+        "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1",
+    )
     vit_cfg = dataclasses.replace(
-        dinov2.parse_model_name(
-            "dinov2_version=vits14-reg_stride=14_facet=token_layer=9_norm=1"
-        ),
+        dinov2.parse_model_name(extractor_name),
         # Pallas fused attention: ~12x over XLA SDPA at 905 tokens (keeps the
         # 905x905 logits in VMEM instead of HBM).
         use_pallas_attention=True,
@@ -110,7 +116,7 @@ def main():
     # 1730 -> 267 crops/sec when left as numpy).
     params = jax.device_put(params_host)
     repre = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,
-                             num_words=2048, raw_dim=384)
+                             num_words=2048, raw_dim=vit_cfg.embed_dim)
     # bf16 banks at rest: halves repre HBM + the matching stage's bank-gather
     # traffic (AR-level equivalence: tests/test_fastpath_ar.py).
     repre = repre.cast_banks(jnp.bfloat16)
@@ -182,13 +188,18 @@ def main():
     # matmul stages + cost_analysis as a lower-bound cross-check.
     def analytic_flops_per_crop():
         d = vit_cfg.embed_dim
-        h = int(d * vit_cfg.mlp_ratio)
+        h = vit_cfg.mlp_hidden
         grid = config.crop_size[0] // vit_cfg.patch_size
         n_tok = grid * grid + 1 + vit_cfg.num_register_tokens
-        layers = vit_cfg.layer + 1  # truncated forward up to the facet layer
         patch_macs = grid * grid * 3 * vit_cfg.patch_size**2 * d
-        layer_macs = n_tok * (4 * d * d + 2 * d * h) + 2 * n_tok * n_tok * d
-        vit = patch_macs + layers * layer_macs
+        mlp_macs = 3 * d * h if vit_cfg.swiglu else 2 * d * h
+        layer_macs = n_tok * (4 * d * d + mlp_macs) + 2 * n_tok * n_tok * d
+        if vit_cfg.facet == "token":
+            # Truncated forward: blocks [0, layer].
+            vit = patch_macs + (vit_cfg.layer + 1) * layer_macs
+        else:
+            # q/k/v facets: blocks [0, layer) + block `layer`'s qkv matmul.
+            vit = patch_macs + vit_cfg.layer * layer_macs + n_tok * 3 * d * d
         q = grid * grid  # query points
         pca_in = repre.raw_projector.components.shape[1]
         pca_out = repre.raw_projector.components.shape[0]
@@ -290,6 +301,7 @@ def main():
         "baseline_crops_per_sec": REFERENCE_CROPS_PER_SEC,
         "baseline_method": "measured replica, reference-favoring (BASELINE.md)",
         "batch": batch,
+        "extractor": extractor_name,
         "mfu": round(mfu, 4),
         "flops_per_step_analytic": step_flops,
         "weight_source": (

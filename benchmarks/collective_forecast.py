@@ -177,20 +177,41 @@ def main():
         )
         return crops, masks, cams
 
-    # Per-crop FLOPs from the bench's analytic model (bench.py): ViT +
-    # retrieval + buddies dominate.
-    d = vit_cfg.embed_dim
-    h = int(d * vit_cfg.mlp_ratio)
-    grid = 420 // vit_cfg.patch_size
-    n_tok = grid * grid + 1 + vit_cfg.num_register_tokens
-    layers = vit_cfg.layer + 1
-    vit = grid * grid * 3 * vit_cfg.patch_size**2 * d + layers * (
-        n_tok * (4 * d * d + 2 * d * h) + 2 * n_tok * n_tok * d
+    def vit_scan_layers(cfg):
+        """Blocks inside the lax.scan (psum multiplicity for TP): the token
+        facet runs blocks [0, layer]; q/k/v facets run [0, layer) plus one
+        out-of-scan qkv matmul."""
+        return cfg.layer + 1 if cfg.facet == "token" else cfg.layer
+
+    def flops_per_crop_fn(cfg):
+        """Per-crop FLOPs (bench.py's analytic model, facet-aware)."""
+        d = cfg.embed_dim
+        h = cfg.mlp_hidden
+        grid = 420 // cfg.patch_size
+        n_tok = grid * grid + 1 + cfg.num_register_tokens
+        mlp_macs = 3 * d * h if cfg.swiglu else 2 * d * h
+        layer_macs = n_tok * (4 * d * d + mlp_macs) + 2 * n_tok * n_tok * d
+        patch_macs = grid * grid * 3 * cfg.patch_size**2 * d
+        if cfg.facet == "token":
+            vit = patch_macs + (cfg.layer + 1) * layer_macs
+        else:
+            vit = patch_macs + cfg.layer * layer_macs + n_tok * 3 * d * d
+        q = grid * grid
+        retrieval = q * d * 256 + q * 2048 * 256
+        buddies = config.top_n_templates * 2 * q * 512 * 256
+        return 2 * (vit + retrieval + buddies)
+
+    # ViT-L (BASELINE.json config #3): the reference's own ViT-L example DSL
+    # (reference: utils/dinov2_utils.py:66) — layer-18 key facet. This is
+    # the model the "TP is for big extractors" claim targets; its forecast
+    # cases substantiate it with real lowered HLO.
+    vitl_cfg = dinov2.parse_model_name(
+        "dinov2_version=vitl14_stride=14_facet=key_layer=18_norm=1"
     )
-    q = grid * grid
-    retrieval = q * 384 * 256 + q * 2048 * 256
-    buddies = config.top_n_templates * 2 * q * 512 * 256
-    flops_per_crop = 2 * (vit + retrieval + buddies)
+    repre_l = _realistic_repre(rng, num_templates=798, fmax=512, feat_dim=256,
+                               num_words=2048, raw_dim=vitl_cfg.embed_dim
+                               ).cast_banks(jnp.bfloat16)
+    params_l = dinov2.init_params(jax.random.PRNGKey(0), vitl_cfg)
 
     results = {}
     m22 = mesh_mod.make_mesh(shape=(4, 2))
@@ -200,18 +221,22 @@ def main():
         raw_dim=384,
     ).cast_banks(jnp.bfloat16)
     cases = [
-        ("data4_bank2", m22,
+        ("data4_bank2", m22, vit_cfg, params,
          make_object_mesh_step(m22, vit_cfg, config, repre), False),
-        ("data2_bank2_model2", m222,
+        ("data2_bank2_model2", m222, vit_cfg, params,
          make_object_mesh_step(m222, vit_cfg, config, repre), False),
-        ("multi_object_data4_bank2", m22,
+        ("multi_object_data4_bank2", m22, vit_cfg, params,
          make_multi_object_mesh_step(
              m22, vit_cfg, config, stack_repres([repre, repre_b])
          )[0], True),
+        ("vitl_data4_bank2", m22, vitl_cfg, params_l,
+         make_object_mesh_step(m22, vitl_cfg, config, repre_l), False),
+        ("vitl_data2_bank2_model2", m222, vitl_cfg, params_l,
+         make_object_mesh_step(m222, vitl_cfg, config, repre_l), False),
     ]
 
-    for name, mesh, stp, is_multi in cases:
-        placed = prepare_mesh_vit_params(mesh, vit_cfg, params)
+    for name, mesh, cfg_c, params_c, stp, is_multi in cases:
+        placed = prepare_mesh_vit_params(mesh, cfg_c, params_c)
         crops, masks, cams = inputs(mesh)
         key = jax.random.PRNGKey(0)
         if is_multi:
@@ -223,10 +248,10 @@ def main():
             lowered = stp.lower(placed, crops, masks, cams, key)
         text = lowered.as_text()
         cols = parse_collectives(text)
-        total, per_op = account(cols, layers, d)
+        total, per_op = account(cols, vit_scan_layers(cfg_c), cfg_c.embed_dim)
 
         n_chips = len(mesh.devices.ravel())
-        step_flops = flops_per_crop * batch
+        step_flops = flops_per_crop_fn(cfg_c) * batch
         compute_s = step_flops / (PEAK_FLOPS * n_chips)
         ici_s = total / ICI_BYTES_PER_S
         bound = "ICI" if ici_s > compute_s else "compute"
@@ -249,7 +274,8 @@ def main():
     print(json.dumps({
         "metric": "collective_traffic_forecast",
         "batch": batch,
-        "flops_per_crop": flops_per_crop,
+        "flops_per_crop_vits": flops_per_crop_fn(vit_cfg),
+        "flops_per_crop_vitl": flops_per_crop_fn(vitl_cfg),
         "assumptions": {
             "ici_bytes_per_s_per_chip": ICI_BYTES_PER_S,
             "peak_bf16_flops": PEAK_FLOPS,

@@ -498,6 +498,140 @@ def run_parity(num_templates=798, pts_per_template=400, feat_dim=256,
     return report
 
 
+def render_query_smooth(rng, obj_points, obj_feats, tpl_point_ids, target_tpl,
+                        pose_seed, feat_noise=0.1):
+    """A crop whose feature field carries SUB-CELL position signal: each
+    object point's descriptor is bilinearly SPLATTED into the 4 feature
+    cells around its true projection (in the sampling convention of
+    ops/sampling.sample_feature_map: pixel p -> fm coord p/cell - 0.5).
+
+    This is the field class featuremetric refinement exists for — a
+    feature map that varies smoothly with sub-cell alignment, like real
+    DINOv2 maps — unlike render_query's one-cell writes, which carry no
+    information below the 14-px grid (so the coarse cell-center PnP is
+    already at the optimum there)."""
+    from scipy.spatial.transform import Rotation
+
+    pr = np.random.default_rng(pose_seed)
+    r_gt = Rotation.from_rotvec(pr.uniform(-0.3, 0.3, 3)).as_matrix().astype(
+        np.float32
+    )
+    t_gt = np.array(
+        [pr.uniform(-0.02, 0.02), pr.uniform(-0.02, 0.02),
+         pr.uniform(0.45, 0.6)],
+        dtype=np.float32,
+    )
+    k_f = np.array([600.0, 600.0], dtype=np.float32)
+    k_c = np.array([209.5, 209.5], dtype=np.float32)
+
+    pts = obj_points[tpl_point_ids[target_tpl]]
+    feats = obj_feats[tpl_point_ids[target_tpl]]
+    cam = pts @ r_gt.T + t_gt
+    proj = cam[:, :2] / cam[:, 2:3] * k_f + k_c
+
+    d = obj_feats.shape[1]
+    acc = np.zeros((GRID, GRID, d), dtype=np.float64)
+    wsum = np.zeros((GRID, GRID), dtype=np.float64)
+    for p, f in zip(proj, feats):
+        fn = f + feat_noise * rng.normal(size=d)
+        u, v = p[0] / CELL - 0.5, p[1] / CELL - 0.5
+        x0, y0 = int(np.floor(u)), int(np.floor(v))
+        fx, fy = u - x0, v - y0
+        for xi, yi, w in ((x0, y0, (1 - fx) * (1 - fy)),
+                          (x0 + 1, y0, fx * (1 - fy)),
+                          (x0, y0 + 1, (1 - fx) * fy),
+                          (x0 + 1, y0 + 1, fx * fy)):
+            if 0 <= xi < GRID and 0 <= yi < GRID:
+                acc[yi, xi] += w * fn
+                wsum[yi, xi] += w
+    fmap = rng.normal(size=(GRID, GRID, d)).astype(np.float32) * 0.05
+    mask = np.zeros((CROP, CROP), dtype=np.float32)
+    covered = wsum > 0.05
+    fmap[covered] = (acc[covered] / wsum[covered, None]).astype(np.float32)
+    c = int(CELL)
+    for cy, cx in zip(*np.nonzero(covered)):
+        mask[cy * c : (cy + 1) * c, cx * c : (cx + 1) * c] = 1.0
+    return fmap, mask, r_gt, t_gt
+
+
+def featuremetric_leg(n_crops=100, num_templates=96, pts_per_template=200,
+                      feat_dim=64, num_words=512, n_points=2000, seed=0,
+                      refine_iters=8, verbose=True):
+    """Accuracy characterization of featuremetric refinement (the paper
+    stage absent from the reference OSS, reference README.md:34): the exact
+    pipeline with refine_featuremetric off vs on, on the splatted-feature
+    world, reporting recall + median rot/trans error vs GT + BOP AR.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from foundpose_tpu.pipeline import inference
+    from foundpose_tpu.structs import PinholeCamera
+
+    rng = np.random.default_rng(seed)
+    repre, obj_points, obj_feats, tpl_point_ids = make_world(
+        rng, num_templates, pts_per_template, feat_dim, num_words, n_points
+    )
+    fmaps, masks, rs_gt, ts_gt = [], [], [], []
+    for i in range(n_crops):
+        fmap, mask, r_gt, t_gt = render_query_smooth(
+            rng, obj_points, obj_feats, tpl_point_ids,
+            target_tpl=i % num_templates, pose_seed=2000 + i,
+        )
+        fmaps.append(fmap)
+        masks.append(mask)
+        rs_gt.append(r_gt)
+        ts_gt.append(t_gt)
+    K = np.array([[600.0, 0, 209.5], [0, 600.0, 209.5], [0, 0, 1]], np.float32)
+    cameras = PinholeCamera(
+        f=jnp.tile(jnp.asarray([[600.0, 600.0]]), (n_crops, 1)),
+        c=jnp.tile(jnp.asarray([[209.5, 209.5]]), (n_crops, 1)),
+        T_world_from_eye=jnp.tile(jnp.eye(4)[None], (n_crops, 1, 1)),
+        width=CROP, height=CROP,
+    )
+    fmaps_j = jnp.asarray(np.stack(fmaps))
+    masks_j = jnp.asarray(np.stack(masks))
+
+    base = dict(top_n_templates=5, top_k_buddies=300, pnp_ransac_iter=200)
+    report = {"metric": "featuremetric_refinement", "n_crops": n_crops,
+              "num_templates": num_templates, "refine_iters": refine_iters}
+    for name, extra in (
+        ("off", {}),
+        ("on", {"refine_featuremetric": True,
+                "featuremetric_iters": refine_iters}),
+    ):
+        out = inference.pose_from_features(
+            fmaps_j, masks_j, cameras, repre, jax.random.PRNGKey(0),
+            inference.InferenceConfig(**base, **extra),
+        )
+        rs = np.asarray(out.R_m2c)
+        ts = np.asarray(out.t_m2c)
+        succ = np.asarray(out.success)
+        ar, ok = ar_recall(rs, ts, succ, rs_gt, ts_gt)
+        rot_errs = [rot_err_deg(rs[i], rs_gt[i]) for i in range(n_crops)
+                    if succ[i]]
+        t_errs = [float(np.linalg.norm(ts[i] - ts_gt[i])) * 1000.0
+                  for i in range(n_crops) if succ[i]]
+        report[f"recall_{name}"] = ar
+        report[f"bop_ar_{name}"] = round(
+            bop_ar_score(rs, ts, succ, rs_gt, ts_gt, obj_points, K,
+                         image_width=CROP), 4)
+        report[f"median_rot_err_deg_{name}"] = round(
+            float(np.median(rot_errs)), 3)
+        report[f"median_t_err_mm_{name}"] = round(float(np.median(t_errs)), 3)
+        report[f"n_success_{name}"] = int(np.sum(succ))
+        if verbose:
+            print(f"[featuremetric] {name}: recall={ar:.3f} "
+                  f"bop_ar={report[f'bop_ar_{name}']:.4f} "
+                  f"median rot={report[f'median_rot_err_deg_{name}']} deg "
+                  f"t={report[f'median_t_err_mm_{name}']} mm", file=sys.stderr)
+    report["rot_err_improvement_deg"] = round(
+        report["median_rot_err_deg_off"] - report["median_rot_err_deg_on"], 3)
+    report["t_err_improvement_mm"] = round(
+        report["median_t_err_mm_off"] - report["median_t_err_mm_on"], 3)
+    return report
+
+
 def vit_parity_leg(n_crops=2, size=None):
     """Shared-weights ViT check: JAX extract_facet vs transformers
     Dinov2WithRegisters on the SAME random ViT-S weights (exported with
@@ -569,6 +703,8 @@ def main():
     ap.add_argument("--crops", type=int, default=100)
     ap.add_argument("--templates", type=int, default=798)
     ap.add_argument("--skip-vit", action="store_true")
+    ap.add_argument("--featuremetric", action="store_true",
+                    help="run ONLY the featuremetric refine-on/off leg")
     args = ap.parse_args()
 
     # Parity is a determinism check, not a perf bench: pin the CPU backend
@@ -582,6 +718,11 @@ def main():
     from foundpose_tpu.utils.jax_cache import enable_persistent_cache
 
     enable_persistent_cache()
+
+    if args.featuremetric:
+        report = featuremetric_leg(n_crops=args.crops)
+        print(json.dumps(report))
+        return 0
 
     report = run_parity(num_templates=args.templates, n_crops=args.crops)
     if not args.skip_vit:
