@@ -291,46 +291,82 @@ def generate_repre(
     bs = opts.batch_size
     feats_l, verts_l, valid_l = [], [], []
     timer.start()
-    pending = None  # previous chunk, not yet forced
-    for s in range(0, num_t, bs):
-        e = min(s + bs, num_t)
-        pad = bs - (e - s)
-        sl = slice(s, e)
 
-        def pad0(a):
-            if pad == 0:
-                return a[sl]
-            return np.concatenate([a[sl], np.repeat(a[e - 1 : e], pad, axis=0)])
+    # Cameras are tiny ([T, 20] floats): pad + upload them ONCE; per-chunk
+    # camera args are then device-side slices, not per-chunk host uploads
+    # (3 of the 5 per-chunk transfers — and their tunnel RTTs — vanish).
+    n_chunks = -(-num_t // bs)
+    num_pad = n_chunks * bs
 
-        f, v, m = register(
-            vit_params,
-            jnp.asarray(pad0(images)),
-            jnp.asarray(pad0(depths)),
-            None if masks is None else jnp.asarray(pad0(masks)),
-            jnp.asarray(pad0(cam_f)),
-            jnp.asarray(pad0(cam_c)),
-            jnp.asarray(pad0(cam_t)),
-        )
-        # One-chunk force window: the PREVIOUS chunk is forced only after
-        # this chunk's uploads + dispatch are issued, overlapping one
-        # chunk's host->device transfer with the force-wait of the last.
-        # Forcing every chunk (rather than none) stays essential: on the
-        # deferred-execution tunnel, letting 50 chunk programs pile up
-        # unmaterialized makes the final materialization superlinear in the
-        # deferred-graph size (measured: 0.4 s/chunk forced per-chunk vs
-        # 15.7 s/chunk when all 50 defer to one force — 785 s/object). On a
-        # locally attached chip this is an ordinary per-dispatch sync.
-        if pending is not None:
-            force_execution(pending[0])
-            feats_l.append(pending[0][: pending[3]])
-            verts_l.append(pending[1][: pending[3]])
-            valid_l.append(pending[2][: pending[3]])
-        pending = (f, v, m, e - s)
-    if pending is not None:
-        force_execution(pending[0])
-        feats_l.append(pending[0][: pending[3]])
-        verts_l.append(pending[1][: pending[3]])
-        valid_l.append(pending[2][: pending[3]])
+    def pad_host(a):
+        if num_pad == num_t:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], num_pad - num_t, axis=0)])
+
+    cam_f_dev = jnp.asarray(pad_host(cam_f))
+    cam_c_dev = jnp.asarray(pad_host(cam_c))
+    cam_t_dev = jnp.asarray(pad_host(cam_t))
+
+    # Producer/consumer pipeline (round 5, after round 4 measured the stage
+    # upload-bound at ~35 MB/s): a producer THREAD pads, uploads and
+    # dispatches each chunk up to two chunks ahead (queue maxsize=2) while
+    # the consumer forces completed chunks in order. Uploads are network IO
+    # (the device client releases the GIL), so chunk k+1/k+2's transfers
+    # ride the link while chunk k's force round-trip waits — the round-4
+    # code overlapped only ONE upload with ONE force (the "one-chunk force
+    # window"); this overlaps the whole stage. Forcing every chunk (rather
+    # than none) stays essential: on the deferred-execution tunnel, letting
+    # 50 chunk programs pile up unmaterialized makes the final
+    # materialization superlinear in the deferred-graph size (measured:
+    # 0.4 s/chunk forced per-chunk vs 15.7 s/chunk when all 50 defer to one
+    # force — 785 s/object). On a locally attached chip the queue is an
+    # ordinary double buffer.
+    import queue as queue_mod
+    import threading
+
+    chunk_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+    def _produce():
+        try:
+            for s in range(0, num_t, bs):
+                e = min(s + bs, num_t)
+                pad = bs - (e - s)
+
+                def pad0(a):
+                    if pad == 0:
+                        return a[s:e]
+                    return np.concatenate(
+                        [a[s:e], np.repeat(a[e - 1 : e], pad, axis=0)]
+                    )
+
+                f, v, m = register(
+                    vit_params,
+                    jnp.asarray(pad0(images)),
+                    jnp.asarray(pad0(depths)),
+                    None if masks is None else jnp.asarray(pad0(masks)),
+                    cam_f_dev[s : s + bs],
+                    cam_c_dev[s : s + bs],
+                    cam_t_dev[s : s + bs],
+                )
+                chunk_q.put((f, v, m, e - s))
+            chunk_q.put(None)
+        except BaseException as ex:  # surfaced in the consumer
+            chunk_q.put(ex)
+
+    producer = threading.Thread(target=_produce, daemon=True)
+    producer.start()
+    while True:
+        item = chunk_q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        f, v, m, n = item
+        force_execution(f)
+        feats_l.append(f[:n])
+        verts_l.append(v[:n])
+        valid_l.append(m[:n])
+    producer.join()
     feats = jnp.concatenate(feats_l)  # [T, Q, D] (device)
     verts = jnp.concatenate(verts_l)  # [T, Q, 3]
     valid = jnp.concatenate(valid_l)  # [T, Q]
@@ -443,7 +479,9 @@ def generate_repre(
         extractor_name=opts.extractor_name,
     )
     if output_dir:
+        timer.start()
         save_repre(repre, output_dir)
+        timer.elapsed("Save")
         logger.info(f"Saved repre to {output_dir}")
     return repre
 

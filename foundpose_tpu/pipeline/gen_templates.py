@@ -60,6 +60,13 @@ class GenTemplatesOpts:
     crop_rel_pad: float = 0.2
     crop_size: Tuple[int, int] = (420, 420)
 
+    # Render/encode worker threads (0 = os.cpu_count()). The native
+    # rasterizer and cv2's resize/imencode all release the GIL and use
+    # per-call buffers, so views render and write in parallel on multi-core
+    # hosts; template numbering stays deterministic (results are consumed
+    # in view order).
+    render_threads: int = 0
+
     overwrite: bool = False
     # Skip objects whose metadata.json already exists (stage-level resume;
     # overwrite=False still raises on partial/unknown existing dirs).
@@ -215,53 +222,95 @@ def synthesize_templates_for_object(
         )
         crop_cams = jax.tree.map(np.asarray, crop_cams)
 
-    for view_idx in range(num_views):
-            timer.start()
-            box = boxes[view_idx]
-            crop_cam = PinholeCamera(
-                f=crop_cams.f[view_idx],
-                c=crop_cams.c[view_idx],
-                T_world_from_eye=crop_cams.T_world_from_eye[view_idx],
-                width=crop_w,
-                height=crop_h,
-            )
+    # Threaded render + encode pipeline (round 5): rendering (native C++
+    # via ctypes), SSAA resize and PNG encode (cv2) all release the GIL
+    # and keep per-call state, so views run on a worker pool, bounded to
+    # 2x workers in flight (a full executor.map would hold ~2 GB of
+    # rendered frames). Results are consumed IN VIEW ORDER so template
+    # numbering/metadata are byte-identical to the sequential loop; PNG
+    # writes are submitted to an IO pool and joined at the end. On this
+    # 1-core bench host the pool measures neutral; on the 8-core
+    # production host the baseline grants the reference (BASELINE.md
+    # §offline) the render/encode stages scale with cores.
+    import cv2
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-            # Render directly through the crop camera at SSAA resolution.
-            hi_cam = PinholeCamera(
-                f=crop_cam.f * ssaa,
-                c=(crop_cam.c + 0.5) * ssaa - 0.5,
-                T_world_from_eye=crop_cam.T_world_from_eye,
-                width=hi_w,
-                height=hi_h,
-            )
-            out = renderer.render_object_model(object_lid, hi_cam)
-            color_hi = np.asarray(out[RenderType.COLOR])
-            depth_hi = np.asarray(out[RenderType.DEPTH])
-            mask_hi = np.asarray(out[RenderType.MASK])
+    def render_view(view_idx):
+        crop_cam = PinholeCamera(
+            f=crop_cams.f[view_idx],
+            c=crop_cams.c[view_idx],
+            T_world_from_eye=crop_cams.T_world_from_eye[view_idx],
+            width=crop_w,
+            height=crop_h,
+        )
+        # Render directly through the crop camera at SSAA resolution.
+        hi_cam = PinholeCamera(
+            f=crop_cam.f * ssaa,
+            c=(crop_cam.c + 0.5) * ssaa - 0.5,
+            T_world_from_eye=crop_cam.T_world_from_eye,
+            width=hi_w,
+            height=hi_h,
+        )
+        out = renderer.render_object_model(object_lid, hi_cam)
+        color_hi = np.asarray(out[RenderType.COLOR])
+        depth_hi = np.asarray(out[RenderType.DEPTH])
+        mask_hi = np.asarray(out[RenderType.MASK])
 
-            if mask_hi.sum() == 0:
+        if mask_hi.sum() == 0:
+            return None
+
+        # SSAA downsample: area for color, nearest for depth/mask
+        # (reference: scripts/gen_templates.py:372-385).
+        color = cv2.resize(color_hi, (crop_w, crop_h), interpolation=cv2.INTER_AREA)
+        depth = cv2.resize(depth_hi, (crop_w, crop_h), interpolation=cv2.INTER_NEAREST)
+        mask = cv2.resize(mask_hi, (crop_w, crop_h), interpolation=cv2.INTER_NEAREST)
+        return crop_cam, color, depth, mask
+
+    def write_template(rgb_path, depth_path, mask_path, color, depth, mask):
+        # cv2's PNG encoder at its default level is ~5x faster than
+        # PIL's (2.4 vs 13.3 ms for a 420^2 rgb template, measured);
+        # the written PNGs stay standard and loader-agnostic.
+        cv2.imwrite(
+            rgb_path, (255.0 * np.clip(color, 0, 1)).astype(np.uint8)[:, :, ::-1]
+        )
+        save_depth_png(depth_path, depth)
+        cv2.imwrite(mask_path, (mask * 255).astype(np.uint8))
+
+    n_workers = opts.render_threads or (os.cpu_count() or 1)
+    timer.start()
+    render_pool = ThreadPoolExecutor(n_workers)
+    io_pool = ThreadPoolExecutor(n_workers)
+    write_futs = []
+    pending = deque()
+    view_iter = iter(range(num_views))
+
+    def submit_next():
+        view_idx = next(view_iter, None)
+        if view_idx is not None:
+            pending.append((view_idx, render_pool.submit(render_view, view_idx)))
+
+    for _ in range(2 * n_workers + 1):
+        submit_next()
+    while pending:
+            view_idx, fut = pending.popleft()
+            res = fut.result()
+            submit_next()
+            if res is None:
                 logger.info(f"Skipping empty template at view {view_idx}")
                 continue
-
-            # SSAA downsample: area for color, nearest for depth/mask
-            # (reference: scripts/gen_templates.py:372-385).
-            import cv2
-
-            color = cv2.resize(color_hi, (crop_w, crop_h), interpolation=cv2.INTER_AREA)
-            depth = cv2.resize(depth_hi, (crop_w, crop_h), interpolation=cv2.INTER_NEAREST)
-            mask = cv2.resize(mask_hi, (crop_w, crop_h), interpolation=cv2.INTER_NEAREST)
+            crop_cam, color, depth, mask = res
+            box = boxes[view_idx]
 
             rgb_path = os.path.join(output_dir, "rgb", f"template_{template_counter:04d}.png")
             depth_path = os.path.join(output_dir, "depth", f"template_{template_counter:04d}.png")
             mask_path = os.path.join(output_dir, "mask", f"template_{template_counter:04d}.png")
-            # cv2's PNG encoder at its default level is ~5x faster than
-            # PIL's (2.4 vs 13.3 ms for a 420^2 rgb template, measured);
-            # the written PNGs stay standard and loader-agnostic.
-            cv2.imwrite(
-                rgb_path, (255.0 * np.clip(color, 0, 1)).astype(np.uint8)[:, :, ::-1]
+            write_futs.append(
+                io_pool.submit(
+                    write_template, rgb_path, depth_path, mask_path,
+                    color, depth, mask,
+                )
             )
-            save_depth_png(depth_path, depth)
-            cv2.imwrite(mask_path, (mask * 255).astype(np.uint8))
 
             metadata_list.append(
                 {
@@ -286,8 +335,14 @@ def synthesize_templates_for_object(
                     "mask_is_depth_positive": True,
                 }
             )
-            timer.elapsed(f"Template {template_counter}")
             template_counter += 1
+    for fut in write_futs:
+        fut.result()
+    render_pool.shutdown()
+    io_pool.shutdown()
+    timer.elapsed(
+        f"Rendered {template_counter} templates ({n_workers} workers)"
+    )
 
     with open(os.path.join(output_dir, "metadata.json"), "w") as f:
         json.dump(metadata_list, f)
