@@ -142,7 +142,12 @@ def main():
     # ~240 ms/batch at this size; approx selection is rank-equivalent for
     # RANSAC purposes — AR-level equivalence tested in
     # tests/test_fastpath_ar.py).
-    config = inference.InferenceConfig(compute_dtype=jnp.bfloat16, approx_topk=True)
+    config = inference.InferenceConfig(
+        compute_dtype=jnp.bfloat16, approx_topk=True,
+        # Two-phase solve experiment knob (benchmarks/select_iter_sweep.py):
+        # 0 = single-pass (default).
+        pnp_select_iter=int(os.environ.get("BENCH_SELECT_ITER", "0")),
+    )
     step = inference.jit_pose_from_crops(vit_cfg, config)
 
     key = jax.random.PRNGKey(1)

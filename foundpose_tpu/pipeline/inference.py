@@ -61,6 +61,14 @@ class InferenceConfig:
     # stage's hypothesis work. lmo_exact.json keeps 400 for strict
     # reference-budget parity runs.
     pnp_ransac_iter: int = 200
+    # Two-phase solve: when > 0, template SELECTION runs a cheap RANSAC at
+    # this hypothesis count over all top_n templates, and the full
+    # `pnp_ransac_iter` budget is spent on the WINNER only (selection is by
+    # pre-refinement inlier count in the reference too, pnp_util.py:77-79,
+    # so only the selection signal is coarsened). 0 = single-pass (default;
+    # the shipped configs keep single-pass unless benchmarked otherwise —
+    # see benchmarks/select_iter_sweep.py for the AR gate).
+    pnp_select_iter: int = 0
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
     lm_iters: int = 10
@@ -342,7 +350,12 @@ def solve_batch(
         # RefineLM never feeds back into it, scripts/infer.py:593-602), so
         # refining only the winning template below is output-equivalent and
         # 5x cheaper than refining every candidate.
-        pnp_keys = jax.random.split(crop_key, config.top_n_templates)
+        pnp_keys = jax.random.split(crop_key, config.top_n_templates + 1)
+        select_iter = (
+            config.pnp_select_iter
+            if 0 < config.pnp_select_iter < config.pnp_ransac_iter
+            else config.pnp_ransac_iter
+        )
         results = jax.vmap(
             lambda c2, c3, v, k: pnp_mod.ransac_pnp(
                 c2,
@@ -351,13 +364,13 @@ def solve_batch(
                 cam_f,
                 cam_c,
                 k,
-                num_hypotheses=config.pnp_ransac_iter,
+                num_hypotheses=select_iter,
                 inlier_thresh=config.pnp_inlier_thresh,
                 refine_lm=False,
                 lm_iters=config.lm_iters,
                 lo_iters=0,
             )
-        )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
+        )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys[:-1])
 
         # Best-by-inlier-count selection (reference: scripts/infer.py:593-602).
         quality = jnp.where(results.success, results.quality, -1.0)
@@ -365,12 +378,36 @@ def solve_batch(
         r_best = results.R[best]
         t_best = results.t[best]
         inliers_best = results.inliers[best]
+        quality_best = results.quality[best]
+        if select_iter < config.pnp_ransac_iter:
+            # Two-phase solve: the full hypothesis budget runs on the WINNER
+            # only (4 of 5 templates got the cheap selection pass above).
+            full = pnp_mod.ransac_pnp(
+                cors.coord_2d[best],
+                cors.coord_3d[best],
+                cors.valid[best],
+                cam_f,
+                cam_c,
+                pnp_keys[-1],
+                num_hypotheses=config.pnp_ransac_iter,
+                inlier_thresh=config.pnp_inlier_thresh,
+                refine_lm=False,
+                lm_iters=config.lm_iters,
+                lo_iters=0,
+            )
+            # The full run can only improve the winner; keep the better of
+            # the two by inlier count.
+            better = full.quality >= quality_best
+            r_best = jnp.where(better, full.R, r_best)
+            t_best = jnp.where(better, full.t, t_best)
+            inliers_best = jnp.where(better, full.inliers, inliers_best)
+            quality_best = jnp.where(better, full.quality, quality_best)
 
         # Winner-only LO-RANSAC + LM + featuremetric — the shared
         # implementation (refine_winner above) used by all four variants.
         best_tid = template_ids[best]
         r_best, t_best, count_best = refine_winner(
-            r_best, t_best, inliers_best, results.quality[best],
+            r_best, t_best, inliers_best, quality_best,
             cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
             cam_f, cam_c, config,
             fmap=fmap,

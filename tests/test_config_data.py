@@ -169,7 +169,8 @@ def test_shipped_configs_load():
             opts = cfg_mod.load_opts(cls, ["--opts-path", path])
             assert opts.object_dataset in ("lmo", "tudl", "ycbv", "tless")
             count += 1
-    assert count == 13  # 4 datasets x 3 stages + infer/lmo_exact.json
+    # 4 datasets x 3 stages + infer/{lmo_exact,lmo_refine,lmo_vitl}.json
+    assert count == 15
 
 
 def test_shipped_infer_configs_engage_fast_path():
@@ -194,7 +195,10 @@ def test_shipped_infer_configs_engage_fast_path():
         p for p in glob.glob(os.path.join(root, "*.json"))
         if not p.endswith("_exact.json")
     )
-    assert len(fast_paths) == 4
+    # 4 datasets + lmo_refine.json + lmo_vitl.json — every non-exact
+    # config must engage the benched fast path (incl. ViT-L's fused block
+    # under the VMEM guard).
+    assert len(fast_paths) == 6
     for path in fast_paths:
         opts = cfg_mod.load_opts(InferOpts, ["--opts-path", path])
         assert opts.use_pallas_attention and opts.use_fused_block
