@@ -61,7 +61,7 @@ class _StageTimeCapture(logging.Handler):
     _pat = re.compile(r"^(.*): ([0-9.]+)s$")
     _stages = frozenset({
         "Template loading", "Feature registration", "PCA", "k-means",
-        "tf-idf descriptors", "Artifact fetch",
+        "tf-idf descriptors", "Artifact fetch", "Save",
     })
 
     def __init__(self):
@@ -218,6 +218,12 @@ def main():
         "gen_repre_stage_s": {
             k: round(v, 2) for k, v in capture.stages.items()
         },
+        # Anything not under a stage timer (host-side array assembly,
+        # weight upload materialization, logging) — nonzero here means a
+        # stage is missing a timer or the link degraded mid-run.
+        "gen_repre_untimed_s": round(
+            times["gen_repre_s"] - sum(capture.stages.values()), 2
+        ),
         "num_templates": num_templates,
     }
     total_s = times["gen_templates_s"] + times["gen_repre_s"]
