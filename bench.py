@@ -191,30 +191,20 @@ def main():
     # XLA cost_analysis does not count FLOPs inside Pallas custom calls (the
     # fused attention), so the honest count is analytic for the dominant
     # matmul stages + cost_analysis as a lower-bound cross-check.
-    def analytic_flops_per_crop():
-        d = vit_cfg.embed_dim
-        h = vit_cfg.mlp_hidden
-        grid = config.crop_size[0] // vit_cfg.patch_size
-        n_tok = grid * grid + 1 + vit_cfg.num_register_tokens
-        patch_macs = grid * grid * 3 * vit_cfg.patch_size**2 * d
-        mlp_macs = 3 * d * h if vit_cfg.swiglu else 2 * d * h
-        layer_macs = n_tok * (4 * d * d + mlp_macs) + 2 * n_tok * n_tok * d
-        if vit_cfg.facet == "token":
-            # Truncated forward: blocks [0, layer].
-            vit = patch_macs + (vit_cfg.layer + 1) * layer_macs
-        else:
-            # q/k/v facets: blocks [0, layer) + block `layer`'s qkv matmul.
-            vit = patch_macs + vit_cfg.layer * layer_macs + n_tok * 3 * d * d
-        q = grid * grid  # query points
-        pca_in = repre.raw_projector.components.shape[1]
-        pca_out = repre.raw_projector.components.shape[0]
-        nw = repre.word_centroids.shape[0]
-        retrieval = q * pca_in * pca_out + q * nw * pca_out
-        fmax = repre.bank_feats.shape[1]
-        buddies = config.top_n_templates * 2 * q * fmax * pca_out
-        return 2 * (vit + retrieval + buddies)  # MAC -> FLOP
+    from foundpose_tpu.utils.flops import pipeline_flops_per_crop
 
-    step_flops = analytic_flops_per_crop() * batch
+    step_flops = (
+        pipeline_flops_per_crop(
+            vit_cfg,
+            crop_px=config.crop_size[0],
+            pca_in=repre.raw_projector.components.shape[1],
+            pca_out=repre.raw_projector.components.shape[0],
+            num_words=repre.word_centroids.shape[0],
+            bank_fmax=repre.bank_feats.shape[1],
+            top_n_templates=config.top_n_templates,
+        )
+        * batch
+    )
     mfu = step_flops / sec_per_step / PEAK_FLOPS
 
     # ---- optional deep profile: per-stage timings + XLA cost analysis ------

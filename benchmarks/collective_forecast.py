@@ -183,23 +183,17 @@ def main():
         out-of-scan qkv matmul."""
         return cfg.layer + 1 if cfg.facet == "token" else cfg.layer
 
+    from foundpose_tpu.utils.flops import pipeline_flops_per_crop
+
     def flops_per_crop_fn(cfg):
-        """Per-crop FLOPs (bench.py's analytic model, facet-aware)."""
-        d = cfg.embed_dim
-        h = cfg.mlp_hidden
-        grid = 420 // cfg.patch_size
-        n_tok = grid * grid + 1 + cfg.num_register_tokens
-        mlp_macs = 3 * d * h if cfg.swiglu else 2 * d * h
-        layer_macs = n_tok * (4 * d * d + mlp_macs) + 2 * n_tok * n_tok * d
-        patch_macs = grid * grid * 3 * cfg.patch_size**2 * d
-        if cfg.facet == "token":
-            vit = patch_macs + (cfg.layer + 1) * layer_macs
-        else:
-            vit = patch_macs + cfg.layer * layer_macs + n_tok * 3 * d * d
-        q = grid * grid
-        retrieval = q * d * 256 + q * 2048 * 256
-        buddies = config.top_n_templates * 2 * q * 512 * 256
-        return 2 * (vit + retrieval + buddies)
+        """Per-crop FLOPs — the SAME single-sourced analytic model bench.py
+        uses for MFU (foundpose_tpu/utils/flops.py), so the boundedness
+        verdicts here cannot skew from the bench's numbers."""
+        return pipeline_flops_per_crop(
+            cfg, crop_px=420, pca_in=cfg.embed_dim, pca_out=256,
+            num_words=2048, bank_fmax=512,
+            top_n_templates=config.top_n_templates,
+        )
 
     # ViT-L (BASELINE.json config #3): the reference's own ViT-L example DSL
     # (reference: utils/dinov2_utils.py:66) — layer-18 key facet. This is

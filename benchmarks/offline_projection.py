@@ -17,10 +17,12 @@ Method (every input is measured, the projection arithmetic is explicit):
   transfer bytes are computed from the template-set dtypes/shapes;
   projected = bytes/PCIE_BW + n_chunks * LOCAL_DISPATCH_S + device time.
 - Artifact fetch: measured bytes / PCIE_BW.
-- Template loading, gen_templates render+encode: single-core CPU stages
-  that the round-5 thread pools parallelize across views/templates
-  (rasterizer + cv2 release the GIL) -> divided by 8, the SAME grant
-  BASELINE.md §offline gives the reference's warp/remap/PNG loops.
+- Template loading and gen_templates render+encode: thread-pool-parallel
+  SINCE round 5 (gen_templates.render_view/write_template workers;
+  gen_repre.load_template_arrays decode pool — rasterizer, cv2 and PIL
+  decode all release the GIL) -> divided by 8, the SAME grant
+  BASELINE.md §offline gives the reference's warp/remap/PNG loops. The
+  save stage (np.savez, single-threaded) is taken as measured.
 - PCA / k-means / tf-idf: device compute, taken as measured.
 
 Usage:
@@ -90,7 +92,19 @@ def main():
 
     with open(args.builder_json) as f:
         b = json.load(f)
-    stage = b["gen_repre_stage_s"]
+    if "best_stable_stage_s" in b:
+        # Composite artifact (offline_builder_r05.json): best stable
+        # per-stage values across repeats, per BASELINE.md methodology.
+        best = b["best_stable_stage_s"]
+        stage = {k: v for k, v in best.items() if k != "gen_templates"}
+        gen_templates_s = best["gen_templates"]
+        repre_total = sum(stage.values())
+    else:
+        stage = b["gen_repre_stage_s"]
+        gen_templates_s = b["gen_templates_s_per_object"]
+        repre_total = b["repre_build_s_per_object"]
+    b = {"gen_templates_s_per_object": gen_templates_s,
+         "repre_build_s_per_object": repre_total}
     n_chunks = -(-NUM_TEMPLATES // args.batch_size)
 
     # Measured transfer bytes of the registration inputs (uint8 rgb +
@@ -114,7 +128,8 @@ def main():
         "kmeans": stage["k-means"],
         "tfidf": stage["tf-idf descriptors"],
         "artifact_fetch": round(fetch_bytes / PCIE_BW, 3),
-        "save": round(stage.get("Save", 0.0) / CORES, 2),
+        # np.savez is single-threaded: taken as measured, NOT divided.
+        "save": stage.get("Save", 0.0),
     }
     total_proj = round(sum(proj.values()), 2)
     measured_total = round(

@@ -139,6 +139,12 @@ def make_sharded_step(
     identical across `model` after the psums); the extractor is ~60% of the
     step, so this is the standard TP trade, not a schedule bug.
     """
+    if config.pnp_select_iter:
+        raise NotImplementedError(
+            "pnp_select_iter (two-phase solve) is a single-chip "
+            "solve_batch knob; this variant keeps the single-pass "
+            "structure (docs/KERNELS.md section 5)"
+        )
     import dataclasses
 
     from jax import shard_map
@@ -423,6 +429,12 @@ def make_sharded_step_multi(
     utils/dinov2_utils.py:81-84) no longer forfeits mixed-object batching.
     Post-ViT stages are model-replicated, same trade as make_sharded_step.
     """
+    if config.pnp_select_iter:
+        raise NotImplementedError(
+            "pnp_select_iter (two-phase solve) is a single-chip "
+            "solve_batch knob; this variant keeps the single-pass "
+            "structure (docs/KERNELS.md section 5)"
+        )
     import dataclasses
 
     from jax import shard_map

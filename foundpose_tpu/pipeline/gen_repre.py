@@ -155,8 +155,19 @@ def load_template_arrays(
     streamed decode-register loop measured 1.5-2x slower on the 1-core bench
     host — see the comment in generate_repre). This standalone loader serves
     tools/tests that want the arrays without the registration pass.
+
+    Decoding runs on a thread pool (cv2/PIL PNG decode releases the GIL),
+    in metadata order, so the stage scales with cores on production hosts
+    — the same grant BASELINE.md §offline gives the reference's loops and
+    the basis of benchmarks/offline_projection.py's /cores adjustment.
     """
-    loaded = [_load_one_template(item, templates_dir) for item in metadata]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(os.cpu_count() or 1) as pool:
+        loaded = list(
+            pool.map(lambda item: _load_one_template(item, templates_dir),
+                     metadata)
+        )
     images, depths, masks, cam_f, cam_c, cam_t, whs = zip(*loaded)
     if all(m is None for m in masks):
         # Every template's mask is (depth > 0): skip the [T, H, W] stack and
@@ -325,10 +336,25 @@ def generate_repre(
     import threading
 
     chunk_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+    stop = threading.Event()  # consumer died: unblock + stop the producer
+
+    def _put(item) -> bool:
+        """Bounded put that aborts when the consumer has stopped — a plain
+        blocking put would wedge the producer forever (maxsize=2) if the
+        consumer raised mid-stage."""
+        while not stop.is_set():
+            try:
+                chunk_q.put(item, timeout=0.5)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def _produce():
         try:
             for s in range(0, num_t, bs):
+                if stop.is_set():
+                    return
                 e = min(s + bs, num_t)
                 pad = bs - (e - s)
 
@@ -348,25 +374,34 @@ def generate_repre(
                     cam_c_dev[s : s + bs],
                     cam_t_dev[s : s + bs],
                 )
-                chunk_q.put((f, v, m, e - s))
-            chunk_q.put(None)
+                if not _put((f, v, m, e - s)):
+                    return
+            _put(None)
         except BaseException as ex:  # surfaced in the consumer
-            chunk_q.put(ex)
+            _put(ex)
 
     producer = threading.Thread(target=_produce, daemon=True)
     producer.start()
-    while True:
-        item = chunk_q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        f, v, m, n = item
-        force_execution(f)
-        feats_l.append(f[:n])
-        verts_l.append(v[:n])
-        valid_l.append(m[:n])
-    producer.join()
+    try:
+        while True:
+            item = chunk_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            f, v, m, n = item
+            force_execution(f)
+            feats_l.append(f[:n])
+            verts_l.append(v[:n])
+            valid_l.append(m[:n])
+    finally:
+        stop.set()
+        while True:  # drain so the producer's pending put unblocks
+            try:
+                chunk_q.get_nowait()
+            except queue_mod.Empty:
+                break
+        producer.join(timeout=60)
     feats = jnp.concatenate(feats_l)  # [T, Q, D] (device)
     verts = jnp.concatenate(verts_l)  # [T, Q, 3]
     valid = jnp.concatenate(valid_l)  # [T, Q]

@@ -267,17 +267,29 @@ def synthesize_templates_for_object(
         mask = cv2.resize(mask_hi, (crop_w, crop_h), interpolation=cv2.INTER_NEAREST)
         return crop_cam, color, depth, mask
 
+    import threading
+
+    n_workers = opts.render_threads or (os.cpu_count() or 1)
+    # Writes are bounded too: without the semaphore the io_pool's internal
+    # queue would buffer every downsampled frame (~3.5 MB each) whenever
+    # encode/disk is slower than rendering — acquiring a slot in the main
+    # loop backpressures rendering as well.
+    write_slots = threading.Semaphore(2 * n_workers)
+
     def write_template(rgb_path, depth_path, mask_path, color, depth, mask):
         # cv2's PNG encoder at its default level is ~5x faster than
         # PIL's (2.4 vs 13.3 ms for a 420^2 rgb template, measured);
         # the written PNGs stay standard and loader-agnostic.
-        cv2.imwrite(
-            rgb_path, (255.0 * np.clip(color, 0, 1)).astype(np.uint8)[:, :, ::-1]
-        )
-        save_depth_png(depth_path, depth)
-        cv2.imwrite(mask_path, (mask * 255).astype(np.uint8))
+        try:
+            cv2.imwrite(
+                rgb_path,
+                (255.0 * np.clip(color, 0, 1)).astype(np.uint8)[:, :, ::-1],
+            )
+            save_depth_png(depth_path, depth)
+            cv2.imwrite(mask_path, (mask * 255).astype(np.uint8))
+        finally:
+            write_slots.release()
 
-    n_workers = opts.render_threads or (os.cpu_count() or 1)
     timer.start()
     render_pool = ThreadPoolExecutor(n_workers)
     io_pool = ThreadPoolExecutor(n_workers)
@@ -292,7 +304,8 @@ def synthesize_templates_for_object(
 
     for _ in range(2 * n_workers + 1):
         submit_next()
-    while pending:
+    try:
+        while pending:
             view_idx, fut = pending.popleft()
             res = fut.result()
             submit_next()
@@ -305,6 +318,7 @@ def synthesize_templates_for_object(
             rgb_path = os.path.join(output_dir, "rgb", f"template_{template_counter:04d}.png")
             depth_path = os.path.join(output_dir, "depth", f"template_{template_counter:04d}.png")
             mask_path = os.path.join(output_dir, "mask", f"template_{template_counter:04d}.png")
+            write_slots.acquire()
             write_futs.append(
                 io_pool.submit(
                     write_template, rgb_path, depth_path, mask_path,
@@ -336,10 +350,14 @@ def synthesize_templates_for_object(
                 }
             )
             template_counter += 1
-    for fut in write_futs:
-        fut.result()
-    render_pool.shutdown()
-    io_pool.shutdown()
+        for fut in write_futs:
+            fut.result()
+    finally:
+        # On success both pools are idle; on error this cancels queued
+        # work so the function doesn't leave writer threads draining a
+        # backlog behind the raised exception.
+        render_pool.shutdown(wait=False, cancel_futures=True)
+        io_pool.shutdown(wait=True, cancel_futures=True)
     timer.elapsed(
         f"Rendered {template_counter} templates ({n_workers} workers)"
     )

@@ -51,6 +51,12 @@ def pose_from_features_multi(
         multi_repre: output of repre.stack_repres (leading object axis on all
             array fields).
     """
+    if config.pnp_select_iter:
+        raise NotImplementedError(
+            "pnp_select_iter (two-phase solve) is a single-chip "
+            "solve_batch knob; this variant keeps the single-pass "
+            "structure (docs/KERNELS.md section 5)"
+        )
     b = feature_maps.shape[0]
     cdt = config.compute_dtype
 

@@ -16,8 +16,8 @@ the standard 2x6 projection Jacobian under a left-multiplied twist
 (R <- exp(-dw^) R, t <- t - dt). jacfwd over the 6 pose parameters pushed 6
 tangent gathers through every texel fetch — the analytic form runs the
 gathers ONCE per iteration (plus one more for the acceptance test), which
-measured 2.9x faster end-to-end at batch 64 on v5e
-(benchmarks/featuremetric_bench.py).
+measured 2.7x faster end-to-end at batch 64 on v5e (refine cost
+99.5 -> 36.9 ms/batch; benchmarks/featuremetric_bench.py).
 
 Everything is fixed-iteration and mask-aware, so it vmaps over crops and runs
 inside the same jitted program as the coarse stage.
