@@ -60,8 +60,8 @@ class _StageTimeCapture(logging.Handler):
 
     _pat = re.compile(r"^(.*): ([0-9.]+)s$")
     _stages = frozenset({
-        "Template loading", "Feature registration", "PCA", "k-means",
-        "tf-idf descriptors", "Artifact fetch", "Save",
+        "Setup", "Template loading", "Feature registration", "PCA",
+        "k-means", "tf-idf descriptors", "Artifact fetch", "Save",
     })
 
     def __init__(self):

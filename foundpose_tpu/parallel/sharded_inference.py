@@ -139,12 +139,6 @@ def make_sharded_step(
     identical across `model` after the psums); the extractor is ~60% of the
     step, so this is the standard TP trade, not a schedule bug.
     """
-    if config.pnp_select_iter:
-        raise NotImplementedError(
-            "pnp_select_iter (two-phase solve) is a single-chip "
-            "solve_batch knob; this variant keeps the single-pass "
-            "structure (docs/KERNELS.md section 5)"
-        )
     import dataclasses
 
     from jax import shard_map
@@ -236,7 +230,7 @@ def make_sharded_step(
                 # redundant work — the winner alone is refined below.
                 res = pnp_mod.ransac_pnp(
                     points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
-                    num_hypotheses=config.pnp_ransac_iter,
+                    num_hypotheses=inference_mod.resolve_select_iter(config),
                     inlier_thresh=config.pnp_inlier_thresh,
                     refine_lm=False,
                     lm_iters=config.lm_iters,
@@ -244,22 +238,29 @@ def make_sharded_step(
                 )
                 return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
 
-            ks = jax.random.split(k, config.top_n_templates)
+            ks = jax.random.split(k, config.top_n_templates + 1)
             results, c2d, c2d_ids, c3d, cconf, cvalid = jax.vmap(per_template)(
-                sel_feats, sel_verts, sel_mask, ks
+                sel_feats, sel_verts, sel_mask, ks[:-1]
             )
             quality = jnp.where(results.success, results.quality, -1.0)
             best = jnp.argmax(quality)
-            r_best = results.R[best]
-            t_best = results.t[best]
-            inliers_best = results.inliers[best]
+            # Two-phase solve second pass (shared helper; no-op unless
+            # pnp_select_iter is set) — same policy as solve_batch.
+            r_best, t_best, inliers_best, quality_best = (
+                inference_mod.full_budget_winner(
+                    results.R[best], results.t[best], results.inliers[best],
+                    results.quality[best],
+                    c2d[best], c3d[best], cvalid[best], kf, kc, ks[-1],
+                    config,
+                )
+            )
 
             # Winner-only LO-RANSAC + LM + featuremetric — the shared
             # implementation (inference.refine_winner) used by all four
             # variants; the banks were already collectively fetched, so the
             # winner_bank closure just indexes them.
             r_best, t_best, count_best = inference_mod.refine_winner(
-                r_best, t_best, inliers_best, results.quality[best],
+                r_best, t_best, inliers_best, quality_best,
                 c2d[best], c3d[best], cvalid[best], kf, kc, config,
                 fmap=fmap,
                 raw_projector=raw_projector if has_pca else None,
@@ -429,12 +430,6 @@ def make_sharded_step_multi(
     utils/dinov2_utils.py:81-84) no longer forfeits mixed-object batching.
     Post-ViT stages are model-replicated, same trade as make_sharded_step.
     """
-    if config.pnp_select_iter:
-        raise NotImplementedError(
-            "pnp_select_iter (two-phase solve) is a single-chip "
-            "solve_batch knob; this variant keeps the single-pass "
-            "structure (docs/KERNELS.md section 5)"
-        )
     import dataclasses
 
     from jax import shard_map
@@ -527,7 +522,7 @@ def make_sharded_step_multi(
                 # single-chip and single-object-sharded paths.
                 res = pnp_mod.ransac_pnp(
                     points[q_ids], bverts[o_ids], bvalid, kf, kc, kk,
-                    num_hypotheses=config.pnp_ransac_iter,
+                    num_hypotheses=inference_mod.resolve_select_iter(config),
                     inlier_thresh=config.pnp_inlier_thresh,
                     refine_lm=False,
                     lm_iters=config.lm_iters,
@@ -535,21 +530,28 @@ def make_sharded_step_multi(
                 )
                 return res, points[q_ids], q_ids, bverts[o_ids], conf, bvalid
 
-            ks = jax.random.split(k, config.top_n_templates)
+            ks = jax.random.split(k, config.top_n_templates + 1)
             results, c2d, c2d_ids, c3d, cconf, cvalid = jax.vmap(per_template)(
-                sel_feats, sel_verts, sel_mask, ks
+                sel_feats, sel_verts, sel_mask, ks[:-1]
             )
             quality = jnp.where(results.success, results.quality, -1.0)
             best = jnp.argmax(quality)
-            r_best = results.R[best]
-            t_best = results.t[best]
-            inliers_best = results.inliers[best]
+            # Two-phase solve second pass (shared helper; no-op unless
+            # pnp_select_iter is set) — same policy as solve_batch.
+            r_best, t_best, inliers_best, quality_best = (
+                inference_mod.full_budget_winner(
+                    results.R[best], results.t[best], results.inliers[best],
+                    results.quality[best],
+                    c2d[best], c3d[best], cvalid[best], kf, kc, ks[-1],
+                    config,
+                )
+            )
 
             # Winner-only LO-RANSAC + LM + featuremetric — the shared
             # implementation (inference.refine_winner) used by all four
             # variants.
             r_best, t_best, count_best = inference_mod.refine_winner(
-                r_best, t_best, inliers_best, results.quality[best],
+                r_best, t_best, inliers_best, quality_best,
                 c2d[best], c3d[best], cvalid[best], kf, kc, config,
                 fmap=fmap,
                 raw_projector=proj,

@@ -256,6 +256,7 @@ def generate_repre(
     import jax.numpy as jnp
 
     timer = Timer(logger=logger)
+    timer.start()
     vit_cfg = dinov2.resolve_config(
         opts.extractor_name,
         use_pallas_attention=opts.use_pallas_attention,
@@ -268,7 +269,12 @@ def generate_repre(
             vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
         else:
             logger.warning("No DINOv2 weights_path given; using random init.")
-            vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+            # See generate_repre_from_list: CPU init + one bulk transfer.
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+            vit_params = jax.device_put(vit_params)
+
+    timer.elapsed("Setup")  # config + weights init/load (device programs)
 
     # All templates are decoded UP FRONT, then registered in batched chunks.
     # A streamed decode-register-decode loop was tried and measured 1.5-2x
@@ -495,13 +501,19 @@ def generate_repre(
     timer.elapsed("Artifact fetch")
 
     cameras = PinholeCamera(
-        f=jnp.asarray(cam_f),
-        c=jnp.asarray(cam_c),
-        T_world_from_eye=jnp.asarray(cam_t),
+        f=np.asarray(cam_f, dtype=np.float32),
+        c=np.asarray(cam_c, dtype=np.float32),
+        T_world_from_eye=np.asarray(cam_t, dtype=np.float32),
         width=w,
         height=h,
     )
+    # device=False: the builder's contract is the SAVED artifact — building
+    # device copies of the ~430 MB banks here cost 10-25 untimed seconds of
+    # upload per object on the tunneled link for data the CLI run then
+    # discards (make_repre docstring). Serving callers load via load_repre
+    # (device arrays) or device_put the result.
     repre = make_repre(
+        device=False,
         feat_vectors=flat_feats.astype(np.float32),
         vertices=flat_verts.astype(np.float32),
         feat_to_template_ids=flat_tids,
@@ -515,7 +527,25 @@ def generate_repre(
     )
     if output_dir:
         timer.start()
-        save_repre(repre, output_dir)
+        # The big banks were just assembled on the host: hand them to the
+        # saver directly instead of letting it re-download the device
+        # copies (~430 MB/object, 30-45 s on the tunneled link — see
+        # save_repre's docstring).
+        save_repre(
+            repre, output_dir,
+            host_arrays={
+                "vertices": flat_verts.astype(np.float32),
+                "feat_vectors": flat_feats.astype(np.float32),
+                "feat_to_template_ids": flat_tids,
+                "word_centroids": np.asarray(words, dtype=np.float32),
+                "cam_f": np.asarray(cam_f, dtype=np.float32),
+                "cam_c": np.asarray(cam_c, dtype=np.float32),
+                "cam_T": np.asarray(cam_t, dtype=np.float32),
+                "feat_mask": np.ones(len(flat_feats), dtype=bool),
+                "word_idfs": np.asarray(idfs, dtype=np.float32),
+                "template_descs": np.asarray(descs, dtype=np.float32),
+            },
+        )
         timer.elapsed("Save")
         logger.info(f"Saved repre to {output_dir}")
     return repre
@@ -536,7 +566,13 @@ def generate_repre_from_list(opts: GenRepreOpts) -> None:
         vit_params = weights_mod.load_checkpoint(opts.weights_path, vit_cfg)
     else:
         logger.warning("No DINOv2 weights_path given; using random init.")
-        vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+        # Init on the CPU backend, then ONE bulk device transfer: eager
+        # init on a tunneled device dispatches ~200 small programs at
+        # ~0.1 s RTT each (measured as ~28 s of untimed builder wall,
+        # benchmarks/results/offline_builder_r05.json).
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            vit_params = dinov2.init_params(jax.random.PRNGKey(0), vit_cfg)
+        vit_params = jax.device_put(vit_params)
 
     # Default to every object of the dataset, matching gen_templates/infer.
     object_lids = opts.object_lids or bop.OBJECT_IDS.get(opts.object_dataset, [])

@@ -231,6 +231,45 @@ def match_batch(
     )
 
 
+def resolve_select_iter(config: InferenceConfig) -> int:
+    """Per-template hypothesis budget of the SELECTION pass: the cheap
+    two-phase budget when configured sensibly, else the full budget."""
+    si = config.pnp_select_iter
+    return si if 0 < si < config.pnp_ransac_iter else config.pnp_ransac_iter
+
+
+def full_budget_winner(
+    r_best, t_best, inliers_best, quality_best,
+    c2d, c3d, cvalid, cam_f, cam_c, key, config: InferenceConfig,
+):
+    """Second phase of the two-phase solve (no-op when single-pass).
+
+    Reruns RANSAC at the FULL `pnp_ransac_iter` budget on the winning
+    template's correspondences and keeps the better pose by inlier count —
+    the full pass can only improve the winner. Shared by all four pipeline
+    variants (solve_batch, multi_object.per_crop, both sharded steps) so
+    the two-phase policy cannot drift between them. Measured (KERNELS §5):
+    AR +1-1.5 pt on the harder sweep world at neutral end-to-end cost.
+    """
+    if resolve_select_iter(config) >= config.pnp_ransac_iter:
+        return r_best, t_best, inliers_best, quality_best
+    full = pnp_mod.ransac_pnp(
+        c2d, c3d, cvalid, cam_f, cam_c, key,
+        num_hypotheses=config.pnp_ransac_iter,
+        inlier_thresh=config.pnp_inlier_thresh,
+        refine_lm=False,
+        lm_iters=config.lm_iters,
+        lo_iters=0,
+    )
+    better = full.quality >= quality_best
+    return (
+        jnp.where(better, full.R, r_best),
+        jnp.where(better, full.t, t_best),
+        jnp.where(better, full.inliers, inliers_best),
+        jnp.where(better, full.quality, quality_best),
+    )
+
+
 def refine_winner(
     r_best,
     t_best,
@@ -351,11 +390,6 @@ def solve_batch(
         # refining only the winning template below is output-equivalent and
         # 5x cheaper than refining every candidate.
         pnp_keys = jax.random.split(crop_key, config.top_n_templates + 1)
-        select_iter = (
-            config.pnp_select_iter
-            if 0 < config.pnp_select_iter < config.pnp_ransac_iter
-            else config.pnp_ransac_iter
-        )
         results = jax.vmap(
             lambda c2, c3, v, k: pnp_mod.ransac_pnp(
                 c2,
@@ -364,7 +398,7 @@ def solve_batch(
                 cam_f,
                 cam_c,
                 k,
-                num_hypotheses=select_iter,
+                num_hypotheses=resolve_select_iter(config),
                 inlier_thresh=config.pnp_inlier_thresh,
                 refine_lm=False,
                 lm_iters=config.lm_iters,
@@ -375,33 +409,14 @@ def solve_batch(
         # Best-by-inlier-count selection (reference: scripts/infer.py:593-602).
         quality = jnp.where(results.success, results.quality, -1.0)
         best = jnp.argmax(quality)
-        r_best = results.R[best]
-        t_best = results.t[best]
-        inliers_best = results.inliers[best]
-        quality_best = results.quality[best]
-        if select_iter < config.pnp_ransac_iter:
-            # Two-phase solve: the full hypothesis budget runs on the WINNER
-            # only (4 of 5 templates got the cheap selection pass above).
-            full = pnp_mod.ransac_pnp(
-                cors.coord_2d[best],
-                cors.coord_3d[best],
-                cors.valid[best],
-                cam_f,
-                cam_c,
-                pnp_keys[-1],
-                num_hypotheses=config.pnp_ransac_iter,
-                inlier_thresh=config.pnp_inlier_thresh,
-                refine_lm=False,
-                lm_iters=config.lm_iters,
-                lo_iters=0,
-            )
-            # The full run can only improve the winner; keep the better of
-            # the two by inlier count.
-            better = full.quality >= quality_best
-            r_best = jnp.where(better, full.R, r_best)
-            t_best = jnp.where(better, full.t, t_best)
-            inliers_best = jnp.where(better, full.inliers, inliers_best)
-            quality_best = jnp.where(better, full.quality, quality_best)
+        # Two-phase solve second pass (no-op unless pnp_select_iter is set):
+        # the full hypothesis budget runs on the WINNER only.
+        r_best, t_best, inliers_best, quality_best = full_budget_winner(
+            results.R[best], results.t[best], results.inliers[best],
+            results.quality[best],
+            cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
+            cam_f, cam_c, pnp_keys[-1], config,
+        )
 
         # Winner-only LO-RANSAC + LM + featuremetric — the shared
         # implementation (refine_winner above) used by all four variants.

@@ -24,8 +24,10 @@ from foundpose_tpu.pipeline.inference import (
     InferenceConfig,
     PoseOutputs,
     estimate_score,
+    full_budget_winner,
     query_features_from_map,
     refine_winner,
+    resolve_select_iter,
 )
 from foundpose_tpu.pose import corresp as corresp_mod
 from foundpose_tpu.pose import pnp as pnp_mod
@@ -51,12 +53,6 @@ def pose_from_features_multi(
         multi_repre: output of repre.stack_repres (leading object axis on all
             array fields).
     """
-    if config.pnp_select_iter:
-        raise NotImplementedError(
-            "pnp_select_iter (two-phase solve) is a single-chip "
-            "solve_batch knob; this variant keeps the single-pass "
-            "structure (docs/KERNELS.md section 5)"
-        )
     b = feature_maps.shape[0]
     cdt = config.compute_dtype
 
@@ -105,28 +101,33 @@ def pose_from_features_multi(
         # No per-template LM: selection is by the PRE-refinement inlier count
         # (identical policy in all four pipeline variants; see
         # inference.solve_batch), the winner alone is refined below.
-        pnp_keys = jax.random.split(crop_key, config.top_n_templates)
+        pnp_keys = jax.random.split(crop_key, config.top_n_templates + 1)
         results = jax.vmap(
             lambda c2, c3, v, k: pnp_mod.ransac_pnp(
                 c2, c3, v, cam_f, cam_c, k,
-                num_hypotheses=config.pnp_ransac_iter,
+                num_hypotheses=resolve_select_iter(config),
                 inlier_thresh=config.pnp_inlier_thresh,
                 refine_lm=False,
                 lm_iters=config.lm_iters,
                 lo_iters=0,
             )
-        )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys)
+        )(cors.coord_2d, cors.coord_3d, cors.valid, pnp_keys[:-1])
         quality = jnp.where(results.success, results.quality, -1.0)
         best = jnp.argmax(quality)
-        r_best = results.R[best]
-        t_best = results.t[best]
-        inliers_best = results.inliers[best]
+        # Two-phase solve second pass (shared helper; no-op unless
+        # pnp_select_iter is set) — same policy as solve_batch.
+        r_best, t_best, inliers_best, quality_best = full_budget_winner(
+            results.R[best], results.t[best], results.inliers[best],
+            results.quality[best],
+            cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
+            cam_f, cam_c, pnp_keys[-1], config,
+        )
 
         # Winner-only LO-RANSAC + LM + featuremetric — the shared
         # implementation (inference.refine_winner) used by all four variants.
         best_tid = template_ids[best]
         r_best, t_best, count_best = refine_winner(
-            r_best, t_best, inliers_best, results.quality[best],
+            r_best, t_best, inliers_best, quality_best,
             cors.coord_2d[best], cors.coord_3d[best], cors.valid[best],
             cam_f, cam_c, config,
             fmap=fmap,

@@ -125,24 +125,31 @@ def make_repre(
     extractor_name: str = "",
     templates: Optional[np.ndarray] = None,
     feat_mask: Optional[np.ndarray] = None,
+    device: bool = True,
 ) -> ObjectRepre:
+    """`device=False` keeps every leaf a host numpy array — for builders
+    that only SAVE the repre (uploading ~430 MB of banks to a tunneled
+    device, measured 10-25 s/object, would be pure waste there). Serving
+    callers keep the default: numpy leaves re-upload on every jit
+    dispatch (a measured pathology, see bench.py's device_put note)."""
     num_templates = template_descs.shape[0]
     bank_feats, bank_vertices, bank_mask = build_padded_banks(
         feat_vectors, vertices, feat_to_template_ids, num_templates
     )
     if feat_mask is None:
         feat_mask = np.ones(len(feat_vectors), dtype=bool)
+    place = jnp.asarray if device else np.asarray
     return ObjectRepre(
-        vertices=jnp.asarray(vertices),
-        feat_vectors=jnp.asarray(feat_vectors),
-        feat_to_template_ids=jnp.asarray(feat_to_template_ids),
-        feat_mask=jnp.asarray(feat_mask),
-        word_centroids=jnp.asarray(word_centroids),
-        word_idfs=jnp.asarray(word_idfs),
-        template_descs=jnp.asarray(template_descs),
-        bank_feats=jnp.asarray(bank_feats),
-        bank_vertices=jnp.asarray(bank_vertices),
-        bank_mask=jnp.asarray(bank_mask),
+        vertices=place(vertices),
+        feat_vectors=place(feat_vectors),
+        feat_to_template_ids=place(feat_to_template_ids),
+        feat_mask=place(feat_mask),
+        word_centroids=place(word_centroids),
+        word_idfs=place(word_idfs),
+        template_descs=place(template_descs),
+        bank_feats=place(bank_feats),
+        bank_vertices=place(bank_vertices),
+        bank_mask=place(bank_mask),
         template_cameras=template_cameras,
         raw_projector=raw_projector,
         tfidf_config=tfidf_config,
@@ -156,8 +163,19 @@ def make_repre(
 # ---------------------------------------------------------------------------
 
 
-def save_repre(repre: ObjectRepre, repre_dir: str) -> None:
-    """Saves to `<dir>/repre.npz` + `<dir>/repre_meta.json`."""
+def save_repre(
+    repre: ObjectRepre, repre_dir: str, host_arrays: Optional[dict] = None
+) -> None:
+    """Saves to `<dir>/repre.npz` + `<dir>/repre_meta.json`.
+
+    `host_arrays` optionally overrides entries with host-resident numpy
+    copies the caller already holds: ObjectRepre fields are device arrays
+    (make_repre uploads them for the jitted pipeline), so `np.asarray`
+    here is a device->host fetch — ~430 MB per object, 30-45 s on the
+    tunneled dev link (measured, benchmarks/results/offline_builder_r05.
+    json "Save") — that the builder, which constructed those arrays on
+    the host moments earlier, should not pay twice.
+    """
     os.makedirs(repre_dir, exist_ok=True)
     arrays = {
         "vertices": repre.vertices,
@@ -171,6 +189,11 @@ def save_repre(repre: ObjectRepre, repre_dir: str) -> None:
         "cam_c": repre.template_cameras.c,
         "cam_T": repre.template_cameras.T_world_from_eye,
     }
+    if host_arrays:
+        unknown = set(host_arrays) - set(arrays)
+        if unknown:
+            raise ValueError(f"unknown host_arrays entries: {sorted(unknown)}")
+        arrays.update(host_arrays)
     arrays = {k: np.asarray(v) for k, v in arrays.items()}
     if repre.raw_projector is not None:
         arrays["pca_mean"] = np.asarray(repre.raw_projector.mean)

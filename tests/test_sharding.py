@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from foundpose_tpu.models import dinov2
 from foundpose_tpu.parallel import mesh as mesh_mod
@@ -186,13 +187,17 @@ def test_full_sharded_step_smoke(rng):
     assert np.isfinite(np.asarray(out.t_m2w)).all()
 
 
-def test_sharded_step_matches_single_device_image_level(rng):
+@pytest.mark.parametrize("select_iter", [0, 20])
+def test_sharded_step_matches_single_device_image_level(rng, select_iter):
     """Three-way unification check at the IMAGE level, through the REAL
     steps: make_sharded_step must agree with the single-device
     jit_pose_from_crops on identical crops + key. The solve policy
     (winner-only LM), query subsampling, and PRNG key derivation are unified
     across pipeline variants, so the only remaining difference is f32
-    reduction order (per-shard ViT batches + psum bank fetch)."""
+    reduction order (per-shard ViT batches + psum bank fetch).
+
+    select_iter=20 additionally pins the TWO-PHASE solve
+    (inference.full_budget_winner) to the same cross-variant contract."""
     m = mesh_mod.make_mesh(shape=(4, 2))
     cfg = dinov2.DinoV2Config(
         variant="vits14", embed_dim=32, depth=2, num_heads=2, mlp_ratio=4.0,
@@ -214,7 +219,7 @@ def test_sharded_step_matches_single_device_image_level(rng):
     )
     config = inference.InferenceConfig(
         crop_size=(hw, hw), grid_cell_size=14.0, top_n_templates=2,
-        top_k_buddies=16, pnp_ransac_iter=50,
+        top_k_buddies=16, pnp_ransac_iter=50, pnp_select_iter=select_iter,
     )
 
     single = inference.jit_pose_from_crops(cfg, config)
