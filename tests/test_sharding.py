@@ -187,10 +187,14 @@ def test_full_sharded_step_smoke(rng):
     assert np.isfinite(np.asarray(out.t_m2w)).all()
 
 
-@pytest.mark.parametrize("select_iter", [0, 20])
-def test_sharded_step_matches_single_device_image_level(rng, select_iter):
-    """Three-way unification check at the IMAGE level, through the REAL
-    steps: make_sharded_step must agree with the single-device
+# The two-phase-solve variant runs as a SEPARATE slow-marked test below:
+# parametrizing this one doubled the heavy image-level compiles inside the
+# main suite process and XLA:CPU's compiler segfaulted under the
+# accumulated full-suite compile load (flaky, full-suite-context only —
+# the identical test passes standalone and in suite segments). Slow tests
+# run in their own pytest invocation, i.e. a fresh process.
+def _check_image_level_equivalence(rng, select_iter):
+    """Shared body: make_sharded_step must agree with the single-device
     jit_pose_from_crops on identical crops + key. The solve policy
     (winner-only LM), query subsampling, and PRNG key derivation are unified
     across pipeline variants, so the only remaining difference is f32
@@ -249,6 +253,15 @@ def test_sharded_step_matches_single_device_image_level(rng, select_iter):
     np.testing.assert_allclose(
         np.asarray(out.t_m2c), np.asarray(ref.t_m2c), rtol=5e-3, atol=5e-3
     )
+
+
+def test_sharded_step_matches_single_device_image_level(rng):
+    _check_image_level_equivalence(rng, select_iter=0)
+
+
+@pytest.mark.slow
+def test_sharded_step_matches_single_device_two_phase_solve(rng):
+    _check_image_level_equivalence(rng, select_iter=20)
 
 
 def test_sharded_step_hlo_has_expected_collectives(rng):
