@@ -1,40 +1,24 @@
 """AR-gated LM-iteration budget sweep on the cross-parity world.
 
 Round-4's AR-gated sweep halved the RANSAC hypothesis budget
-(docs/KERNELS.md §5); this applies the same method to the remaining solve
-knobs: the winner's Levenberg-Marquardt iteration count (shipped default
-10, reference cv2 default ~20 internal but on a polished winner) and the
-LO-RANSAC round count. AR is scored against the SAME independent replica
-oracle (held at the full reference budget) on the structured synthetic
-world; a cell is admissible when its AR is within 1 pt of the oracle AND
-of the shipped default.
+(docs/KERNELS.md §5); this applies the same method to the winner's
+Levenberg-Marquardt iteration count (shipped default 10). Measured
+round-5 verdict: AR is bit-identical across lm_iters ∈ {2..10} — the LM
+converges in ≤2 iterations on these correspondence sets — so the knob is
+NOT a lever (artifact benchmarks/results/lm_iters_sweep_r05.json).
 
 Usage: python benchmarks/lm_iters_sweep.py [--crops 200] [--seeds 2]
 Prints one JSON line with the per-cell AR table and the picked budget.
 """
 
 import argparse
-import itertools
-import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cross_parity import (  # noqa: E402
-    CROP,
-    ReferenceReplica,
-    ar_recall,
-    make_world,
-    render_query,
-)
-
-LM_ITERS = [10, 6, 4, 2]
-DEFAULT_LM = 10
+from solve_sweep_harness import emit, run_sweep  # noqa: E402
 
 
 def main():
@@ -43,113 +27,14 @@ def main():
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--templates", type=int, default=96)
     args = ap.parse_args()
-
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-    import jax.numpy as jnp
-
-    from foundpose_tpu.pipeline import inference
-    from foundpose_tpu.structs import PinholeCamera
-    from foundpose_tpu.utils.jax_cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    all_cells = {}
-    oracle_ars = []
-    for seed in range(args.seeds):
-        rng = np.random.default_rng(seed)
-        repre, obj_points, obj_feats, tpl_point_ids = make_world(
-            rng, num_templates=args.templates, pts_per_template=200,
-            feat_dim=64, num_words=512, n_points=2000,
-        )
-        fmaps, masks, rs_gt, ts_gt = [], [], [], []
-        for i in range(args.crops):
-            fmap, mask, r_gt, t_gt = render_query(
-                rng, obj_points, obj_feats, tpl_point_ids,
-                target_tpl=i % args.templates, pose_seed=3000 * (seed + 1) + i,
-            )
-            fmaps.append(fmap)
-            masks.append(mask)
-            rs_gt.append(r_gt)
-            ts_gt.append(t_gt)
-
-        bank_feats = [
-            np.asarray(obj_feats[tpl_point_ids[t]], np.float32)
-            for t in range(args.templates)
-        ]
-        bank_verts = [
-            np.asarray(obj_points[tpl_point_ids[t]], np.float32)
-            for t in range(args.templates)
-        ]
-        replica = ReferenceReplica(
-            bank_feats, bank_verts, np.asarray(repre.word_centroids),
-            top_n_templates=5, top_k_buddies=300, pnp_ransac_iter=400,
-        )
-        K = np.array([[600.0, 0, 209.5], [0, 600.0, 209.5], [0, 0, 1]],
-                     np.float32)
-        t0 = time.perf_counter()
-        rep_out = [replica.infer_one(fmaps[i], masks[i], K)
-                   for i in range(args.crops)]
-        ar_rep, _ = ar_recall(
-            [o.get("R", np.eye(3)) for o in rep_out],
-            [o.get("t", np.zeros(3)) for o in rep_out],
-            [o["success"] for o in rep_out], rs_gt, ts_gt,
-        )
-        oracle_ars.append(ar_rep)
-        print(f"[sweep] seed {seed}: replica oracle AR={ar_rep:.3f} "
-              f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-
-        cameras = PinholeCamera(
-            f=jnp.tile(jnp.asarray([[600.0, 600.0]]), (args.crops, 1)),
-            c=jnp.tile(jnp.asarray([[209.5, 209.5]]), (args.crops, 1)),
-            T_world_from_eye=jnp.tile(jnp.eye(4)[None], (args.crops, 1, 1)),
-            width=CROP, height=CROP,
-        )
-        fmaps_j = jnp.asarray(np.stack(fmaps))
-        masks_j = jnp.asarray(np.stack(masks))
-
-        for lm in LM_ITERS:
-            out = inference.pose_from_features(
-                fmaps_j, masks_j, cameras, repre, jax.random.PRNGKey(0),
-                inference.InferenceConfig(
-                    compute_dtype=jnp.bfloat16, approx_topk=True,
-                    pnp_ransac_iter=200, pnp_lo_iters=2, lm_iters=lm,
-                ),
-            )
-            ar, _ = ar_recall(
-                np.asarray(out.R_m2c), np.asarray(out.t_m2c),
-                np.asarray(out.success), rs_gt, ts_gt,
-            )
-            all_cells.setdefault(lm, []).append(ar)
-            print(f"[sweep] seed {seed} lm_iters={lm}: AR={ar:.3f} "
-                  f"(delta vs replica {abs(ar - ar_rep):.3f})",
-                  file=sys.stderr)
-
-    # A cell is admissible when EVERY seed is within 1 pt of that seed's
-    # oracle and of the default cell.
-    default_ars = all_cells[DEFAULT_LM]
-    admissible = [
-        lm for lm, ars in all_cells.items()
-        if all(
-            abs(a - o) <= 0.01 + 1e-9 and a >= d - 0.01 - 1e-9
-            for a, o, d in zip(ars, oracle_ars, default_ars)
-        )
-    ]
-    pick = min(admissible) if admissible else DEFAULT_LM
-    print(json.dumps({
-        "metric": "lm_iters_sweep",
-        "n_crops": args.crops,
-        "seeds": args.seeds,
-        "ar_replica_oracle": [round(a, 4) for a in oracle_ars],
-        "cells": {f"lm{lm}": [round(a, 4) for a in ars]
-                  for lm, ars in all_cells.items()},
-        "gate": "all seeds: AR within 1 pt of replica AND of lm10 default",
-        "admissible": sorted(admissible),
-        "picked_lm_iters": pick,
-    }))
-    return 0
+    return emit(run_sweep(
+        metric="lm_iters_sweep",
+        config_overrides_by_cell={
+            f"lm{n}": {"lm_iters": n} for n in (10, 6, 4, 2)
+        },
+        default_cell="lm10",
+        crops=args.crops, seeds=args.seeds, templates=args.templates,
+    ))
 
 
 if __name__ == "__main__":

@@ -4,37 +4,25 @@ Sweeps `pnp_select_iter` (the cheap per-template selection budget of the
 two-phase solve; 0 = single-pass) at the shipped 200-hypothesis final
 budget. Selection is by pre-refinement inlier count (reference
 pnp_util.py:77-79), so the only thing the cheap pass can change is WHICH
-template wins — the winner still gets the full budget. AR is scored
-against the independent replica oracle (held at the full reference
-budget); a cell is admissible when every seed is within 1 pt of its
-oracle AND of the single-pass default.
+template wins — the winner still gets the full budget, and the better of
+the two passes is kept (inference.full_budget_winner). Measured round-5
+verdict: select=100 is AR-POSITIVE (+1-1.5 pt vs single-pass, within 1 pt
+of the oracle on both seeds) at neutral end-to-end device cost — the
+admissible pick (artifact benchmarks/results/select_iter_sweep_r05.json,
+trade notes docs/KERNELS.md §5).
 
 Usage: python benchmarks/select_iter_sweep.py [--crops 200] [--seeds 2]
 Prints one JSON line with the per-cell AR table and the picked budget.
 """
 
 import argparse
-import itertools
-import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cross_parity import (  # noqa: E402
-    CROP,
-    ReferenceReplica,
-    ar_recall,
-    make_world,
-    render_query,
-)
-
-SELECT_ITERS = [0, 100, 50, 25]
-DEFAULT_SELECT = 0
+from solve_sweep_harness import emit, run_sweep  # noqa: E402
 
 
 def main():
@@ -43,116 +31,19 @@ def main():
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--templates", type=int, default=96)
     args = ap.parse_args()
-
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-    import jax.numpy as jnp
-
-    from foundpose_tpu.pipeline import inference
-    from foundpose_tpu.structs import PinholeCamera
-    from foundpose_tpu.utils.jax_cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
-    all_cells = {}
-    oracle_ars = []
-    for seed in range(args.seeds):
-        rng = np.random.default_rng(seed)
-        repre, obj_points, obj_feats, tpl_point_ids = make_world(
-            rng, num_templates=args.templates, pts_per_template=200,
-            feat_dim=64, num_words=512, n_points=2000,
-        )
-        fmaps, masks, rs_gt, ts_gt = [], [], [], []
-        for i in range(args.crops):
-            fmap, mask, r_gt, t_gt = render_query(
-                rng, obj_points, obj_feats, tpl_point_ids,
-                target_tpl=i % args.templates, pose_seed=3000 * (seed + 1) + i,
-            )
-            fmaps.append(fmap)
-            masks.append(mask)
-            rs_gt.append(r_gt)
-            ts_gt.append(t_gt)
-
-        bank_feats = [
-            np.asarray(obj_feats[tpl_point_ids[t]], np.float32)
-            for t in range(args.templates)
-        ]
-        bank_verts = [
-            np.asarray(obj_points[tpl_point_ids[t]], np.float32)
-            for t in range(args.templates)
-        ]
-        replica = ReferenceReplica(
-            bank_feats, bank_verts, np.asarray(repre.word_centroids),
-            top_n_templates=5, top_k_buddies=300, pnp_ransac_iter=400,
-        )
-        K = np.array([[600.0, 0, 209.5], [0, 600.0, 209.5], [0, 0, 1]],
-                     np.float32)
-        t0 = time.perf_counter()
-        rep_out = [replica.infer_one(fmaps[i], masks[i], K)
-                   for i in range(args.crops)]
-        ar_rep, _ = ar_recall(
-            [o.get("R", np.eye(3)) for o in rep_out],
-            [o.get("t", np.zeros(3)) for o in rep_out],
-            [o["success"] for o in rep_out], rs_gt, ts_gt,
-        )
-        oracle_ars.append(ar_rep)
-        print(f"[sweep] seed {seed}: replica oracle AR={ar_rep:.3f} "
-              f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-
-        cameras = PinholeCamera(
-            f=jnp.tile(jnp.asarray([[600.0, 600.0]]), (args.crops, 1)),
-            c=jnp.tile(jnp.asarray([[209.5, 209.5]]), (args.crops, 1)),
-            T_world_from_eye=jnp.tile(jnp.eye(4)[None], (args.crops, 1, 1)),
-            width=CROP, height=CROP,
-        )
-        fmaps_j = jnp.asarray(np.stack(fmaps))
-        masks_j = jnp.asarray(np.stack(masks))
-
-        for si in SELECT_ITERS:
-            out = inference.pose_from_features(
-                fmaps_j, masks_j, cameras, repre, jax.random.PRNGKey(0),
-                inference.InferenceConfig(
-                    compute_dtype=jnp.bfloat16, approx_topk=True,
-                    pnp_ransac_iter=200, pnp_lo_iters=2,
-                    pnp_select_iter=si,
-                ),
-            )
-            ar, _ = ar_recall(
-                np.asarray(out.R_m2c), np.asarray(out.t_m2c),
-                np.asarray(out.success), rs_gt, ts_gt,
-            )
-            all_cells.setdefault(si, []).append(ar)
-            print(f"[sweep] seed {seed} select_iter={si}: AR={ar:.3f} "
-                  f"(delta vs replica {abs(ar - ar_rep):.3f})",
-                  file=sys.stderr)
-
-    # A cell is admissible when EVERY seed is within 1 pt of that seed's
-    # oracle and of the default cell.
-    default_ars = all_cells[DEFAULT_SELECT]
-    admissible = [
-        si for si, ars in all_cells.items()
-        if all(
-            abs(a - o) <= 0.01 + 1e-9 and a >= d - 0.01 - 1e-9
-            for a, o, d in zip(ars, oracle_ars, default_ars)
-        )
-    ]
-    # Cheapest admissible = smallest nonzero selection budget.
-    nonzero = [si for si in admissible if si > 0]
-    pick = min(nonzero) if nonzero else DEFAULT_SELECT
-    print(json.dumps({
-        "metric": "select_iter_sweep",
-        "n_crops": args.crops,
-        "seeds": args.seeds,
-        "ar_replica_oracle": [round(a, 4) for a in oracle_ars],
-        "cells": {f"select{si}": [round(a, 4) for a in ars]
-                  for si, ars in all_cells.items()},
-        "gate": "all seeds: AR within 1 pt of replica AND of single-pass",
-        "admissible": sorted(admissible),
-        "picked_select_iter": pick,
-    }))
-    return 0
+    return emit(run_sweep(
+        metric="select_iter_sweep",
+        config_overrides_by_cell={
+            f"select{n}": {"pnp_select_iter": n} for n in (0, 100, 50, 25)
+        },
+        default_cell="select0",
+        crops=args.crops, seeds=args.seeds, templates=args.templates,
+        # Cheapest admissible NONZERO selection budget (select0 = the
+        # single-pass default, not a two-phase pick).
+        pick_rule=lambda cells: min(
+            (c for c in cells if c != "select0"), default="select0"
+        ),
+    ))
 
 
 if __name__ == "__main__":
