@@ -38,6 +38,21 @@ logger = get_logger()
 
 
 @dataclasses.dataclass(frozen=True)
+class TemplateDescOpts:
+    """Nested template-descriptor options, exactly the reference's block
+    (reference: utils/repre_util.py:24-31; consumed at
+    scripts/gen_repre.py:314-343). The flat tfidf_* fields on GenRepreOpts
+    remain the native spelling; when `template_desc_opts` is present (as
+    in the reference's shipped configs) it takes precedence."""
+
+    desc_type: str = "tfidf"
+    tfidf_knn_metric: str = "l2"
+    tfidf_knn_k: int = 3
+    tfidf_soft_assign: bool = False
+    tfidf_soft_sigma_squared: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
 class GenRepreOpts:
     """(reference: scripts/gen_repre.py:37-64)"""
 
@@ -64,6 +79,9 @@ class GenRepreOpts:
     tfidf_knn_metric: str = "l2"
     tfidf_soft_assign: bool = False
     tfidf_soft_sigma_squared: float = 10.0
+    # The reference configs nest the tf-idf options (see TemplateDescOpts);
+    # when given, it overrides the flat fields above.
+    template_desc_opts: Optional[TemplateDescOpts] = None
 
     batch_size: int = 16
     use_pallas_attention: bool = False
@@ -257,6 +275,11 @@ def generate_repre(
 
     timer = Timer(logger=logger)
     timer.start()
+    td = opts.template_desc_opts
+    if td is not None and td.desc_type != "tfidf":
+        # Fail fast, same contract as the reference
+        # (scripts/gen_repre.py:343).
+        raise ValueError(f"Unknown template descriptor type: {td.desc_type}")
     vit_cfg = dinov2.resolve_config(
         opts.extractor_name,
         use_pallas_attention=opts.use_pallas_attention,
@@ -450,11 +473,14 @@ def generate_repre(
 
     # Visual words (reference: scripts/gen_repre.py:289-311). k-means sees
     # the padded bank with a sample mask — padded rows contribute nothing.
+    td = opts.template_desc_opts
     tfidf_cfg = TfidfConfig(
-        knn_k=opts.tfidf_knn_k,
-        metric=opts.tfidf_knn_metric,
-        soft_assign=opts.tfidf_soft_assign,
-        soft_sigma_squared=opts.tfidf_soft_sigma_squared,
+        knn_k=td.tfidf_knn_k if td else opts.tfidf_knn_k,
+        metric=td.tfidf_knn_metric if td else opts.tfidf_knn_metric,
+        soft_assign=td.tfidf_soft_assign if td else opts.tfidf_soft_assign,
+        soft_sigma_squared=(
+            td.tfidf_soft_sigma_squared if td else opts.tfidf_soft_sigma_squared
+        ),
     )
     if opts.cluster_features:
         timer.start()

@@ -46,6 +46,17 @@ class GenTemplatesOpts:
     min_num_viewpoints: int = 57
     num_inplane_rotations: int = 14
     depth_range: Optional[Tuple[float, float]] = None  # mm; None -> from diameter
+    # Renders per view (reference: scripts/gen_templates.py:46,241 — its
+    # loop repeats each view this many times). With this deterministic
+    # rasterizer the repeats are identical images; honored for template-set
+    # shape parity with reference-built configs.
+    images_per_view: int = 1
+    # Schema parity with the reference's opts (scripts/gen_templates.py:
+    # 49-51); like `background_type`/`light_type` below, the reference
+    # declares but never consumes these three anywhere in its code.
+    max_num_triangles: int = 20000
+    back_face_culling: bool = False
+    texture_size: Tuple[int, int] = (1024, 1024)
 
     ssaa_factor: float = 4.0
     # Schema parity with the reference; like there, these two are accepted
@@ -175,6 +186,10 @@ def synthesize_templates_for_object(
         all_views.extend(
             cam_mod.inplane_rotated_views(views, opts.num_inplane_rotations)
         )
+    if opts.images_per_view > 1:
+        # Reference semantics: each view rendered images_per_view times
+        # (scripts/gen_templates.py:241).
+        all_views = [v for v in all_views for _ in range(opts.images_per_view)]
     num_views = len(all_views)
     rs = np.stack([v["R"] for v in all_views]).astype(np.float64)  # [N,3,3]
     ts = np.stack([np.reshape(v["t"], 3) for v in all_views]).astype(np.float64)

@@ -353,3 +353,48 @@ def test_yaml_twin_of_lmo_config_loads_identically(tmp_path):
     assert patched == from_json
     with pytest.raises(ValueError, match="json or a .yaml|.json or .yaml"):
         cfg_mod.load_envelope_file(str(tmp_path / "lmo.toml"))
+
+
+def test_reference_gen_stage_configs_load():
+    """The reference's published gen_templates/gen_repre lmo.json envelopes
+    load unchanged — including the NESTED template_desc_opts block
+    (reference utils/repre_util.py:24-31, overriding the flat tfidf_*
+    fields) and the schema-only renderer options the reference declares
+    but never consumes (scripts/gen_templates.py:46-51)."""
+    from foundpose_tpu.pipeline.gen_repre import GenRepreOpts
+    from foundpose_tpu.pipeline.gen_templates import GenTemplatesOpts
+
+    gr = cfg_mod.from_dict(GenRepreOpts, {
+        "version": "v1", "templates_version": "v1", "object_dataset": "lmo",
+        "object_lids": [1, 5, 6, 8, 9, 10, 11, 12],
+        "extractor_name": (
+            "dinov2_version=vits14-reg_stride=14_facet=token"
+            "_layer=9_logbin=0_norm=1"
+        ),
+        "grid_cell_size": 14.0, "apply_pca": True, "pca_components": 256,
+        "cluster_features": True, "cluster_num": 2048,
+        "template_desc_opts": {"desc_type": "tfidf", "tfidf_knn_k": 5},
+    })
+    assert gr.template_desc_opts.tfidf_knn_k == 5
+    with pytest.raises(ValueError, match="Unknown template descriptor"):
+        # Same contract as reference scripts/gen_repre.py:343 — checked at
+        # the point of use; exercise it via the tfidf resolution.
+        from foundpose_tpu.pipeline import gen_repre as gr_mod
+
+        bad = dataclasses.replace(
+            gr, template_desc_opts=gr_mod.TemplateDescOpts(desc_type="bow")
+        )
+        gr_mod.generate_repre(bad, metadata=[])
+
+    gt = cfg_mod.from_dict(GenTemplatesOpts, {
+        "version": "v1", "object_dataset": "lmo",
+        "object_lids": [1, 5, 6, 8, 9, 10, 11, 12],
+        "num_viewspheres": 1, "min_num_viewpoints": 57,
+        "num_inplane_rotations": 14, "images_per_view": 1,
+        "max_num_triangles": 20000, "back_face_culling": False,
+        "texture_size": [1024, 1024], "ssaa_factor": 4.0,
+        "background_type": "black", "light_type": "multi_directional",
+        "features_patch_size": 14, "crop": True, "crop_rel_pad": 0.2,
+        "crop_size": [420, 420],
+    })
+    assert gt.images_per_view == 1 and gt.texture_size == (1024, 1024)
