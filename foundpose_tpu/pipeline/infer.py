@@ -73,6 +73,11 @@ class InferOpts:
     # rationale on InferenceConfig.pnp_ransac_iter and
     # benchmarks/ransac_sweep.py. lmo_exact.json pins 400.
     pnp_ransac_iter: int = 200
+    # Two-phase solve (inference.full_budget_winner): > 0 runs template
+    # SELECTION at this cheap hypothesis budget and the full
+    # pnp_ransac_iter on the winner only. Measured AR +1-1.5 pt at neutral
+    # device cost (docs/KERNELS.md section 5); 0 = single-pass default.
+    pnp_select_iter: int = 0
     pnp_required_ransac_conf: float = 0.99
     pnp_inlier_thresh: float = 10.0
     pnp_refine_lm: bool = True
@@ -748,6 +753,7 @@ def infer(opts: InferOpts) -> Dict[int, int]:
         top_k_buddies=opts.match_top_k_buddies,
         approx_topk=opts.approx_topk,
         pnp_ransac_iter=opts.pnp_ransac_iter,
+        pnp_select_iter=opts.pnp_select_iter,
         pnp_inlier_thresh=opts.pnp_inlier_thresh,
         pnp_refine_lm=opts.pnp_refine_lm,
         pnp_lo_iters=opts.pnp_lo_iters,
@@ -954,6 +960,7 @@ def infer_multi_object(opts: InferOpts) -> Dict[int, int]:
         top_k_buddies=opts.match_top_k_buddies,
         approx_topk=opts.approx_topk,
         pnp_ransac_iter=opts.pnp_ransac_iter,
+        pnp_select_iter=opts.pnp_select_iter,
         pnp_inlier_thresh=opts.pnp_inlier_thresh,
         pnp_refine_lm=opts.pnp_refine_lm,
         pnp_lo_iters=opts.pnp_lo_iters,
