@@ -34,6 +34,9 @@ def main():
         },
         default_cell="lm10",
         crops=args.crops, seeds=args.seeds, templates=args.templates,
+        # Cheapest admissible budget by NUMERIC value (cell keys are
+        # strings; a bare min() would sort lexicographically).
+        pick_rule=lambda cells: min(cells, key=lambda c: int(c[2:])),
     ))
 
 

@@ -121,6 +121,8 @@ def main():
         + reg_device_s * n_chunks
     )
     proj = {
+        # Setup (config + weight init/load) taken as measured.
+        "setup": stage.get("Setup", 0.0),
         "gen_templates": round(b["gen_templates_s_per_object"] / CORES, 2),
         "template_loading": round(stage["Template loading"] / CORES, 2),
         "feature_registration": round(reg_proj, 2),

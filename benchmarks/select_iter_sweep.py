@@ -38,10 +38,12 @@ def main():
         },
         default_cell="select0",
         crops=args.crops, seeds=args.seeds, templates=args.templates,
-        # Cheapest admissible NONZERO selection budget (select0 = the
-        # single-pass default, not a two-phase pick).
+        # Cheapest admissible NONZERO selection budget by NUMERIC value
+        # (select0 = the single-pass default, not a two-phase pick; cell
+        # keys are strings, so a bare min() would sort lexicographically).
         pick_rule=lambda cells: min(
-            (c for c in cells if c != "select0"), default="select0"
+            (c for c in cells if c != "select0"),
+            key=lambda c: int(c[6:]), default="select0",
         ),
     ))
 

@@ -523,7 +523,9 @@ def generate_repre(
     flat_feats = np.asarray(pfeats[sel_dev])
     flat_verts = np.asarray(verts.reshape(-1, 3)[sel_dev])
     flat_tids = (flat_idx // num_q).astype(np.int32)
-    words = np.asarray(words)
+    words = np.asarray(words, dtype=np.float32)
+    idfs = np.asarray(idfs, dtype=np.float32)
+    descs = np.asarray(descs, dtype=np.float32)
     timer.elapsed("Artifact fetch")
 
     cameras = PinholeCamera(
@@ -543,9 +545,9 @@ def generate_repre(
         feat_vectors=flat_feats.astype(np.float32),
         vertices=flat_verts.astype(np.float32),
         feat_to_template_ids=flat_tids,
-        word_centroids=np.asarray(words, dtype=np.float32),
-        word_idfs=np.asarray(idfs, dtype=np.float32),
-        template_descs=np.asarray(descs, dtype=np.float32),
+        word_centroids=words,
+        word_idfs=idfs,
+        template_descs=descs,
         template_cameras=cameras,
         raw_projector=projector,
         tfidf_config=tfidf_cfg,
@@ -553,25 +555,10 @@ def generate_repre(
     )
     if output_dir:
         timer.start()
-        # The big banks were just assembled on the host: hand them to the
-        # saver directly instead of letting it re-download the device
-        # copies (~430 MB/object, 30-45 s on the tunneled link — see
-        # save_repre's docstring).
-        save_repre(
-            repre, output_dir,
-            host_arrays={
-                "vertices": flat_verts.astype(np.float32),
-                "feat_vectors": flat_feats.astype(np.float32),
-                "feat_to_template_ids": flat_tids,
-                "word_centroids": np.asarray(words, dtype=np.float32),
-                "cam_f": np.asarray(cam_f, dtype=np.float32),
-                "cam_c": np.asarray(cam_c, dtype=np.float32),
-                "cam_T": np.asarray(cam_t, dtype=np.float32),
-                "feat_mask": np.ones(len(flat_feats), dtype=bool),
-                "word_idfs": np.asarray(idfs, dtype=np.float32),
-                "template_descs": np.asarray(descs, dtype=np.float32),
-            },
-        )
+        # device=False above means every repre leaf is already host numpy,
+        # so the saver's np.asarray is a no-op (no ~430 MB device->host
+        # re-download — the round-5 measured 30-45 s Save pathology).
+        save_repre(repre, output_dir)
         timer.elapsed("Save")
         logger.info(f"Saved repre to {output_dir}")
     return repre

@@ -163,18 +163,14 @@ def make_repre(
 # ---------------------------------------------------------------------------
 
 
-def save_repre(
-    repre: ObjectRepre, repre_dir: str, host_arrays: Optional[dict] = None
-) -> None:
+def save_repre(repre: ObjectRepre, repre_dir: str) -> None:
     """Saves to `<dir>/repre.npz` + `<dir>/repre_meta.json`.
 
-    `host_arrays` optionally overrides entries with host-resident numpy
-    copies the caller already holds: ObjectRepre fields are device arrays
-    (make_repre uploads them for the jitted pipeline), so `np.asarray`
-    here is a device->host fetch — ~430 MB per object, 30-45 s on the
-    tunneled dev link (measured, benchmarks/results/offline_builder_r05.
-    json "Save") — that the builder, which constructed those arrays on
-    the host moments earlier, should not pay twice.
+    NOTE for device-resident repres: `np.asarray` below is a device->host
+    fetch (~430 MB per object, 30-45 s on the tunneled dev link — the
+    round-5 measured "Save" pathology). The builder avoids it by
+    constructing its repre with make_repre(device=False), so its leaves
+    are already host numpy when they reach this function.
     """
     os.makedirs(repre_dir, exist_ok=True)
     arrays = {
@@ -189,11 +185,6 @@ def save_repre(
         "cam_c": repre.template_cameras.c,
         "cam_T": repre.template_cameras.T_world_from_eye,
     }
-    if host_arrays:
-        unknown = set(host_arrays) - set(arrays)
-        if unknown:
-            raise ValueError(f"unknown host_arrays entries: {sorted(unknown)}")
-        arrays.update(host_arrays)
     arrays = {k: np.asarray(v) for k, v in arrays.items()}
     if repre.raw_projector is not None:
         arrays["pca_mean"] = np.asarray(repre.raw_projector.mean)
